@@ -1,0 +1,348 @@
+"""Typed configuration system.
+
+Mirrors the reference's Hydra YAML roots (config/{vae,calm,tts,asr}_config.yaml,
+each with model/data/training/evaluation sections) but with strict dataclasses:
+every YAML field must map onto a declared field, and unknown keys raise,
+fixing the reference bug where train_vae.py:165-173 silently dropped
+`ssim_weight`/`use_l1_loss` from vae_config.yaml.
+
+Supports dotted CLI overrides ("training.learning_rate=1e-4") like Hydra.
+No Hydra dependency: plain PyYAML + dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Coerce a YAML value to a dataclass field type."""
+    origin = getattr(typ, "__origin__", None)
+    if typ is Any:
+        return value
+    if origin is not None:
+        args = typ.__args__
+        # Optional[T]
+        if origin is type(None) or (origin is getattr(__import__("typing"), "Union", None)):
+            if value is None:
+                return None
+            non_none = [a for a in args if a is not type(None)]
+            return _coerce(value, non_none[0])
+        if origin in (list, List):
+            return [_coerce(v, args[0]) for v in value]
+        if origin in (dict, Dict):
+            return {k: _coerce(v, args[1]) for k, v in value.items()}
+        return value
+    try:
+        import types
+
+        if isinstance(typ, types.UnionType):  # py3.10 `X | None`
+            if value is None:
+                return None
+            non_none = [a for a in typ.__args__ if a is not type(None)]
+            return _coerce(value, non_none[0])
+    except Exception:
+        pass
+    if dataclasses.is_dataclass(typ):
+        return from_dict(typ, value)
+    if typ is bool:
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if typ is float and value is not None:
+        return float(value)
+    if typ is int and value is not None:
+        if isinstance(value, float) and value != int(value):
+            raise ValueError(f"cannot coerce {value!r} to int")
+        return int(value)
+    if typ is str and value is not None:
+        return str(value)
+    return value
+
+
+def from_dict(cls, data: Optional[Dict[str, Any]]):
+    """Build dataclass `cls` from a dict, raising on unknown keys."""
+    if data is None:
+        return cls()
+    if not isinstance(data, dict):
+        raise TypeError(f"expected mapping for {cls.__name__}, got {type(data)}")
+    known = {f.name: f for f in fields(cls)}
+    unknown = set(data) - set(known)
+    if unknown:
+        raise KeyError(
+            f"unknown config keys for {cls.__name__}: {sorted(unknown)}; "
+            f"known: {sorted(known)}"
+        )
+    kwargs = {}
+    for name, value in data.items():
+        kwargs[name] = _coerce(value, known[name].type_resolved if hasattr(known[name], "type_resolved") else _resolve_type(cls, name))
+    return cls(**kwargs)
+
+
+def _resolve_type(cls, name: str):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    return hints[name]
+
+
+def to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Audio frontend (reference: preprocess/core.py:33-61)
+# ---------------------------------------------------------------------------
+@dataclass
+class MelConfig:
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: float = 8000.0
+    power: float = 2.0
+    log_clamp: float = 1e-5  # ln(clamp(mel, 1e-5)); floor ~= -11.5
+    center: bool = True
+    pad_mode: str = "reflect"
+
+
+# ---------------------------------------------------------------------------
+# Acoustic VAE (reference: models/modeling_vae.py:90-123, config/vae_config.yaml)
+# ---------------------------------------------------------------------------
+@dataclass
+class VAEModelConfig:
+    in_channels: int = 80
+    hidden_channels: int = 512
+    latent_channels: int = 128
+    strides: List[int] = field(default_factory=lambda: [2, 2])
+    kl_weight: float = 5e-5
+    kl_clamp: float = 2.0
+    latent_dropout: float = 0.05
+    norm_num_groups: int = 32
+    use_l1_loss: bool = True
+    ssim_weight: float = 1.0
+    stft_loss_weight: float = 0.25
+    mel_mean: float = -6.589515
+    mel_std: float = 3.860679
+
+    @property
+    def total_stride(self) -> int:
+        t = 1
+        for s in self.strides:
+            t *= s
+        return t
+
+
+# ---------------------------------------------------------------------------
+# Qwen2 backbone (HF Qwen2-1.5B-Instruct geometry)
+# ---------------------------------------------------------------------------
+@dataclass
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 12
+    num_key_value_heads: int = 2
+    head_dim: int = 128
+    max_position_embeddings: int = 32768
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    attention_dropout: float = 0.0
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "Qwen2Config":
+        """A miniature geometry for tests (structure-identical)."""
+        return Qwen2Config(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            rope_theta=10000.0,
+        )
+
+
+@dataclass
+class LoRAConfig:
+    enabled: bool = True
+    rank: int = 64
+    alpha: float = 128.0
+    dropout: float = 0.05
+    # reference targets q/k/v/o + gate/up/down proj (train_calm.py:463)
+    target_modules: List[str] = field(
+        default_factory=lambda: [
+            "q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj",
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# CALM model (reference: models/modeling_calm.py:500-532 QwenCALMConfig)
+# ---------------------------------------------------------------------------
+@dataclass
+class CALMModelConfig:
+    qwen_path: Optional[str] = None
+    vae_path: Optional[str] = None
+    use_precomputed_latents: bool = True
+    latent_dim: int = 128
+    tts_loss_weight: float = 1.0
+    asr_loss_weight: float = 1.0
+    len_pred_loss_weight: float = 0.1
+    dur_pred_loss_weight: float = 0.1
+    downsample_rate: int = 1
+    max_audio_len: int = 384
+    max_text_len: int = 96
+    tts_flow_hidden_dim: int = 1024
+    tts_flow_num_layers: int = 4
+    asr_flow_hidden_dim: int = 1024
+    asr_flow_num_layers: int = 4
+    flow_num_heads: int = 16
+    cfg_dropout_prob: float = 0.1
+    mel_mean: float = -6.589515
+    mel_std: float = 3.860679
+    latent_mean: Any = 0.0  # scalar or [latent_dim] list
+    latent_std: Any = 1.0
+    use_lora: bool = True
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
+    freeze_projector: bool = False
+    qwen: Qwen2Config = field(default_factory=Qwen2Config)
+    # soft restart (reference: train_calm.py:374-398, asr_config.yaml:36-41)
+    pretrained_projector_path: Optional[str] = None
+    pretrained_tts_head_path: Optional[str] = None
+    pretrained_tts_len_pred_path: Optional[str] = None
+    pretrained_asr_head_path: Optional[str] = None
+    pretrained_asr_query_path: Optional[str] = None
+    pretrained_lora_path: Optional[str] = None
+
+
+@dataclass
+class DatasetPaths:
+    latent_dir: Optional[str] = None
+    eval_latent_dir: Optional[str] = None
+    subsets: str = ""
+
+
+@dataclass
+class DataConfig:
+    task_mode: str = "mix"  # "tts" | "asr" | "mix"
+    task_prob_tts: float = 0.5
+    datasets: Dict[str, DatasetPaths] = field(default_factory=dict)
+    train_subsets: str = ""
+    eval_subsets: str = ""
+    max_text_len: int = 96
+    max_audio_len: int = 384
+    latent_downsample: int = 1
+    # VAE training data
+    data_dir: Optional[str] = None
+    eval_data_dir: Optional[str] = None
+    crop_size: int = 256
+
+
+@dataclass
+class TrainingConfig:
+    output_dir: str = "outputs/checkpoints/run"
+    run_name: str = "run"
+    resume_from_checkpoint: Optional[str] = None
+    per_device_train_batch_size: int = 16
+    per_device_eval_batch_size: int = 1
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 5e-5
+    num_train_epochs: float = 3.0
+    max_steps: int = -1
+    bf16: bool = True
+    gradient_checkpointing: bool = True
+    lr_scheduler_type: str = "cosine"
+    warmup_ratio: float = 0.1
+    max_grad_norm: float = 1.0
+    weight_decay: float = 0.01
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    logging_steps: int = 10
+    save_steps: int = 500
+    save_total_limit: int = 2
+    eval_steps: int = 500
+    load_best_model_at_end: bool = True
+    metric_for_best_model: str = "loss"
+    seed: int = 42
+    # 5-group LR multipliers (reference: train_calm.py:249-291)
+    soa_lr_mult: float = 5.0
+    proj_lr_mult: float = 1.0
+    head_lr_mult: float = 3.0
+    # ZeRO-style optimizer-state sharding over the data axis
+    shard_optimizer_state: bool = True
+    dataloader_num_workers: int = 0
+    report_to: str = "none"
+
+
+@dataclass
+class EvaluationConfig:
+    task: str = "mix"
+    checkpoint_path: Optional[str] = None
+    output_dir: str = "outputs/eval_results"
+    max_samples: int = 50
+    use_vocoder: bool = True
+    steps: int = 50
+    cfg_scale: float = 2.5
+    asr_steps: int = 20
+    asr_cfg_scale: float = 1.0
+    eval_asr_model: Optional[str] = None
+    seed: int = 42
+    datasets: Dict[str, DatasetPaths] = field(default_factory=dict)
+
+
+@dataclass
+class CALMConfig:
+    """Root config for CALM training/eval (mirrors calm/tts/asr_config.yaml)."""
+
+    model: CALMModelConfig = field(default_factory=CALMModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+
+
+@dataclass
+class VAEConfig:
+    """Root config for VAE training (mirrors vae_config.yaml)."""
+
+    model: VAEModelConfig = field(default_factory=VAEModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loading + CLI overrides
+# ---------------------------------------------------------------------------
+def _apply_override(data: Dict[str, Any], dotted: str, raw: str) -> None:
+    keys = dotted.split(".")
+    node = data
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = yaml.safe_load(raw)
+
+
+def load_config(path: str, cls=CALMConfig, overrides: Optional[List[str]] = None):
+    """Load a YAML config into dataclass `cls` with dotted CLI overrides."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        k, v = ov.split("=", 1)
+        _apply_override(data, k, v)
+    return from_dict(cls, data)
