@@ -1,0 +1,130 @@
+"""Torch-semantics primitive layers in flax.linen, channels-last.
+
+All sequence tensors are [B, T, C] (channels map to TPU lanes). These wrappers
+pin down exact PyTorch numerical semantics (padding conventions, transposed
+conv arithmetic, exact-erf GELU) so reference checkpoints convert losslessly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def gelu(x):
+    """Exact-erf GELU (torch nn.GELU default), not the tanh approximation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d equivalent on [B, T, C_in] -> [B, T_out, C_out].
+
+    kernel param shape [k, C_in, C_out]  (torch weight is [C_out, C_in, k];
+    convert with w.transpose(2, 1, 0)).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        conv = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            kernel_dilation=(self.dilation,),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )
+        return conv(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d equivalent: out_len = (T-1)*s - 2p + k.
+
+    Implemented as an input-dilated convolution with the spatially-flipped
+    kernel — the exact adjoint of Conv1d, matching torch bit-for-bit in fp32.
+    kernel param shape [k, C_in, C_out] (torch weight is [C_in, C_out, k];
+    convert with w.transpose(2, 0, 1)).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.kernel_size, in_ch, self.features),
+        )
+        k, s, p = self.kernel_size, self.stride, self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            jnp.flip(kernel, axis=0).astype(self.dtype or x.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class GroupNorm(nn.Module):
+    """torch.nn.GroupNorm equivalent (normalizes over spatial dims + group)."""
+
+    num_groups: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, name="gn")(x)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(
+            epsilon=self.eps, use_scale=self.use_scale, use_bias=self.use_bias,
+            name="ln",
+        )(x)
+
+
+class MLP(nn.Module):
+    """Linear -> act -> Linear (torch nn.Sequential style)."""
+
+    hidden: int
+    out: int
+    act: Callable = gelu
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = self.act(x)
+        return nn.Dense(self.out, name="fc2")(x)

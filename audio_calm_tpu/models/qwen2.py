@@ -1,0 +1,222 @@
+"""Qwen2 decoder backbone in JAX (the reference's frozen LLM + LoRA).
+
+Ground-up flax implementation of the Qwen2 architecture (the reference loads
+it via HF AutoModelForCausalLM, modeling_calm.py:543-547): RMSNorm (eps 1e-6),
+GQA attention with QKV bias + RoPE (theta 1e6), SwiGLU MLP, tied embeddings.
+We only ever need hidden states (CALM conditions on hidden_states[-1] and
+searches nearest vocab embeddings), so no LM head is materialized; logits via
+the tied embedding when asked.
+
+TPU-first: bf16 compute, fp32 RMSNorm accumulation and softmax, static-shape
+masks, `nn.remat` gradient checkpointing per block, attention as batched
+einsum (MXU) with an optional fused path.
+
+Weight conversion from HF safetensors: see audio_calm_tpu/models/convert.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from audio_calm_tpu.config import LoRAConfig, Qwen2Config
+from audio_calm_tpu.models.lora import LoRADense
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def make_rope_cache(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions [B, T] -> (cos, sin) each [B, T, head_dim]. HF half-split RoPE."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, hd]; cos/sin: [B, T, hd] (HF rotate_half convention)."""
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * c + rot * s
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Scaled dot-product attention with GQA head broadcasting.
+
+    q: [B, T, Hq, hd], k/v: [B, S, Hkv, hd], mask: [B, 1|Hq, T, S] bool
+    (True = attend). fp32 softmax.
+    """
+    B, T, Hq, hd = q.shape
+    Hkv = k.shape[2]
+    rep = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, rep, hd)
+    scores = jnp.einsum(
+        "bthrd,bshd->bhrts", qg, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(hd).astype(jnp.float32)
+    scores = scores.reshape(B, Hq, T, k.shape[1])
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs.reshape(B, Hkv, rep, T, k.shape[1]).astype(v.dtype)
+    out = jnp.einsum("bhrts,bshd->bthrd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, T, Hq, hd).astype(q.dtype)
+
+
+class Qwen2Attention(nn.Module):
+    cfg: Qwen2Config
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask, train: bool = False):
+        c = self.cfg
+        hd = c.head_dim
+
+        def proj(name, out, bias):
+            if self.lora and self.lora.enabled and name in self.lora.target_modules:
+                return LoRADense(
+                    out, use_bias=bias, rank=self.lora.rank, alpha=self.lora.alpha,
+                    lora_dropout=self.lora.dropout, name=name,
+                )
+            return LoRADense(out, use_bias=bias, rank=0, name=name)
+
+        q = proj("q_proj", c.num_attention_heads * hd, True)(x, train=train)
+        k = proj("k_proj", c.num_key_value_heads * hd, True)(x, train=train)
+        v = proj("v_proj", c.num_key_value_heads * hd, True)(x, train=train)
+
+        B, T, _ = x.shape
+        q = q.reshape(B, T, c.num_attention_heads, hd)
+        k = k.reshape(B, T, c.num_key_value_heads, hd)
+        v = v.reshape(B, T, c.num_key_value_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        out = sdpa(q, k, v, mask)
+        out = out.reshape(B, T, c.num_attention_heads * hd)
+        return proj("o_proj", c.hidden_size, False)(out, train=train)
+
+
+class Qwen2MLP(nn.Module):
+    cfg: Qwen2Config
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+
+        def proj(name, out):
+            if self.lora and self.lora.enabled and name in self.lora.target_modules:
+                return LoRADense(
+                    out, use_bias=False, rank=self.lora.rank, alpha=self.lora.alpha,
+                    lora_dropout=self.lora.dropout, name=name,
+                )
+            return LoRADense(out, use_bias=False, rank=0, name=name)
+
+        gate = proj("gate_proj", c.intermediate_size)(x, train=train)
+        up = proj("up_proj", c.intermediate_size)(x, train=train)
+        return proj("down_proj", c.hidden_size)(jax.nn.silu(gate) * up, train=train)
+
+
+class Qwen2Block(nn.Module):
+    cfg: Qwen2Config
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask, train: bool = False):
+        h = RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x)
+        x = x + Qwen2Attention(self.cfg, self.lora, name="self_attn")(
+            h, cos, sin, mask, train=train
+        )
+        h = RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        x = x + Qwen2MLP(self.cfg, self.lora, name="mlp")(h, train=train)
+        return x
+
+
+class Qwen2Model(nn.Module):
+    """Decoder stack. Returns final-norm hidden states [B, T, hidden]."""
+
+    cfg: Qwen2Config
+    lora: Optional[LoRAConfig] = None
+    gradient_checkpointing: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,  # [B, T, hidden]
+        attention_mask: Optional[jnp.ndarray] = None,  # [B, T] 1 = valid
+        position_ids: Optional[jnp.ndarray] = None,  # [B, T]
+        train: bool = False,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        B, T, _ = inputs_embeds.shape
+        x = inputs_embeds.astype(self.dtype)
+
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), dtype=jnp.int32)
+        if position_ids is None:
+            # reference builds cumsum-1 position ids over the mask
+            # (modeling_calm.py:711-712)
+            position_ids = jnp.maximum(
+                jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0
+            )
+
+        cos, sin = make_rope_cache(position_ids, c.head_dim, c.rope_theta)
+
+        causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+        pad = attention_mask.astype(bool)[:, None, None, :]  # keys valid
+        mask = causal[None, None, :, :] & pad
+
+        block = Qwen2Block
+        if self.gradient_checkpointing:
+            block = nn.remat(
+                Qwen2Block, static_argnums=(5,), prevent_cse=False
+            )
+        for i in range(c.num_hidden_layers):
+            x = block(c, self.lora, name=f"layers_{i}")(
+                x, cos, sin, mask, train
+            )
+        return RMSNorm(c.rms_norm_eps, name="norm")(x)
+
+
+class Qwen2Embed(nn.Module):
+    """Token embedding table (tied; also used for nearest-token search)."""
+
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        emb = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.cfg.vocab_size, self.cfg.hidden_size),
+        )
+        return jnp.take(emb, input_ids, axis=0)
+
+    def table(self) -> jnp.ndarray:
+        return self.get_variable("params", "embedding")

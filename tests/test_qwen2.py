@@ -1,0 +1,125 @@
+"""Qwen2 backbone: shape/mask behavior + exact parity vs HF transformers."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from audio_calm_tpu.config import LoRAConfig, Qwen2Config
+from audio_calm_tpu.models.convert import convert_qwen2, merge_params
+from audio_calm_tpu.models.qwen2 import Qwen2Embed, Qwen2Model
+
+CFG = Qwen2Config.tiny()
+
+
+def _init(lora=None, gc=False):
+    model = Qwen2Model(CFG, lora=lora, gradient_checkpointing=gc, dtype=jnp.float32)
+    x = jnp.zeros((2, 8, CFG.hidden_size))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_shapes_and_padding_invariance():
+    model, params = _init()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 6, CFG.hidden_size)), jnp.float32)
+    out = model.apply(params, x)
+    assert out.shape == (1, 6, CFG.hidden_size)
+
+    # causal + pad masking: appending padded junk must not change valid rows
+    junk = jnp.asarray(rng.standard_normal((1, 3, CFG.hidden_size)), jnp.float32)
+    x_pad = jnp.concatenate([x, junk], axis=1)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    out_pad = model.apply(params, x_pad, attention_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, :6]), np.asarray(out), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_causality():
+    model, params = _init()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, CFG.hidden_size)), jnp.float32)
+    out1 = model.apply(params, x)
+    x2 = x.at[:, 5:].set(0.0)  # change future positions
+    out2 = model.apply(params, x2)
+    np.testing.assert_allclose(
+        np.asarray(out1[:, :5]), np.asarray(out2[:, :5]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_lora_zero_init_is_identity_and_trains():
+    lora = LoRAConfig(rank=4, alpha=8, dropout=0.0)
+    model_base, params_base = _init()
+    model_lora = Qwen2Model(CFG, lora=lora, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 8, CFG.hidden_size)), jnp.float32
+    )
+    params_lora = model_lora.init(jax.random.PRNGKey(0), x)
+    # overlay base weights -> outputs must match exactly (B = 0 at init)
+    merged = merge_params(params_lora["params"], params_base["params"])
+    out_b = model_base.apply(params_base, x)
+    out_l = model_lora.apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_l), atol=1e-6)
+    # lora leaves exist
+    flat = jax.tree_util.tree_leaves_with_path(params_lora["params"])
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert any("lora_a" in n for n in names)
+
+
+def test_gradient_checkpointing_same_output():
+    model, params = _init()
+    model_gc, _ = _init(gc=True)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 8, CFG.hidden_size)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.apply(params, x)),
+        np.asarray(model_gc.apply(params, x)),
+        atol=1e-6,
+    )
+
+
+def test_parity_vs_hf_transformers():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=CFG.vocab_size,
+        hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads,
+        head_dim=CFG.head_dim,
+        rope_theta=CFG.rope_theta,
+        rms_norm_eps=CFG.rms_norm_eps,
+        tie_word_embeddings=True,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen2Model(hf_cfg).eval().float()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    converted = convert_qwen2(sd, CFG)
+    model = Qwen2Model(CFG, dtype=jnp.float32)
+    embed = Qwen2Embed(CFG)
+
+    ids = np.array([[3, 7, 11, 2, 9, 4]], dtype=np.int64)
+    mask = np.array([[1, 1, 1, 1, 1, 0]], dtype=np.int64)
+
+    eparams = embed.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    eparams = {"params": merge_params(eparams["params"], converted["embed"])}
+    x = embed.apply(eparams, jnp.asarray(ids))
+
+    mparams = model.init(jax.random.PRNGKey(0), x)
+    mparams = {"params": merge_params(mparams["params"], converted["model"])}
+    ours = np.asarray(model.apply(mparams, x, attention_mask=jnp.asarray(mask)))
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+
+    valid = np.asarray(mask, bool)[0]
+    diff = np.max(np.abs(ours[0, valid] - ref[0, valid]))
+    assert diff < 2e-4, diff

@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from audio_calm_tpu.config import VAEModelConfig
+from audio_calm_tpu.models.vae import AcousticVAE, multires_stft_loss, pad_to_stride
+from audio_calm_tpu.ops.ssim import ssim_loss
+
+
+def tiny_cfg(**kw):
+    d = dict(in_channels=80, hidden_channels=64, latent_channels=16,
+             strides=[2, 2], norm_num_groups=8)
+    d.update(kw)
+    return VAEModelConfig(**d)
+
+
+def test_vae_shapes_and_loss_finite():
+    cfg = tiny_cfg()
+    model = AcousticVAE(cfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 80)) * 3 - 6,
+                      dtype=jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                        mel, train=False)
+    out = model.apply(params, mel, train=False)
+    assert out["z"].shape == (2, 16, 16)       # 4x time compression
+    assert out["recon_mel"].shape == (2, 64, 80)
+    for k in ("loss", "rec_loss", "ssim_loss", "stft_loss", "kl_loss"):
+        assert np.isfinite(float(out[k])), k
+
+    # train mode uses noise + dropout rngs
+    out_t = model.apply(params, mel, train=True,
+                        rngs={"noise": jax.random.PRNGKey(2),
+                              "dropout": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(out_t["loss"]))
+
+
+def test_vae_encode_decode_methods():
+    cfg = tiny_cfg()
+    model = AcousticVAE(cfg)
+    mel = jnp.zeros((1, 32, 80))
+    params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                        mel, train=False)
+    mu, logvar = model.apply(params, mel, method=AcousticVAE.encode)
+    assert mu.shape == (1, 8, 16) and logvar.shape == (1, 8, 16)
+    recon = model.apply(params, mu, method=AcousticVAE.decode)
+    assert recon.shape == (1, 32, 80)
+
+
+def test_pad_to_stride():
+    mel = jnp.ones((1, 61, 80))
+    padded = pad_to_stride(mel, 4)
+    assert padded.shape == (1, 64, 80)
+    assert pad_to_stride(jnp.ones((1, 64, 80)), 4).shape == (1, 64, 80)
+
+
+def test_ssim_identical_is_zero_and_matches_torch_conv2d():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((2, 80, 64)).astype(np.float32)
+    assert float(ssim_loss(jnp.asarray(a), jnp.asarray(a))) < 1e-5
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    import math
+
+    b = (a + 0.3 * rng.standard_normal(a.shape)).astype(np.float32)
+    ours = float(ssim_loss(jnp.asarray(a), jnp.asarray(b)))
+
+    # independent torch 2-D gaussian-window SSIM
+    g = torch.tensor([math.exp(-((i - 5) ** 2) / (2 * 1.5**2)) for i in range(11)])
+    g = (g / g.sum()).float()
+    win = (g[:, None] @ g[None, :]).view(1, 1, 11, 11)
+    i1 = torch.from_numpy(a).unsqueeze(1)
+    i2 = torch.from_numpy(b).unsqueeze(1)
+    mu1 = F.conv2d(i1, win, padding=5)
+    mu2 = F.conv2d(i2, win, padding=5)
+    s1 = F.conv2d(i1 * i1, win, padding=5) - mu1**2
+    s2 = F.conv2d(i2 * i2, win, padding=5) - mu2**2
+    s12 = F.conv2d(i1 * i2, win, padding=5) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+    ref = float(1 - smap.mean())
+    assert abs(ours - ref) < 1e-4
+
+
+def test_multires_stft_loss_zero_for_identical_and_positive_otherwise():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 256, 8)), dtype=jnp.float32)
+    assert float(multires_stft_loss(x, x)) == 0.0
+    y = x + 0.5
+    assert float(multires_stft_loss(x, y)) > 0.0
+    # short sequences: specs with n_fft > T are dropped (reference behavior)
+    xs = x[:, :100]
+    assert np.isfinite(float(multires_stft_loss(xs, xs + 0.1)))
