@@ -1,0 +1,202 @@
+"""Non-autoregressive TTS / ASR inference pipelines.
+
+Re-design of the reference inference (eval/eval_calm.py:306-381 ASR,
+419-540 TTS) for XLA: everything runs on a static [B, max_audio_len] /
+[B, max_text_len] grid with traced lengths + masks, so each pipeline is ONE
+jit program (the reference re-shapes per utterance). CFG passes are fused
+(see ops/ode.py). EOS truncation and tokenizer decode stay host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_calm_tpu.models.calm import QwenCALM
+from audio_calm_tpu.ops.alignment import build_alignment_from_durations
+from audio_calm_tpu.ops.ode import ode_solve
+
+TTS_PROMPT = (
+    "<|im_start|>user\nRead this text:\n{}<|im_end|>\n<|im_start|>assistant\n"
+)
+ASR_PROMPT = (
+    "<|im_start|>user\nTranscribe audio to text embedding.<|im_end|>\n"
+    "<|im_start|>assistant\n"
+)
+# Qwen2 ChatML terminators (reference eval_calm.py:365-372)
+EOS_CANDIDATES = (151643, 151645)
+
+
+def tts_generate_latents(
+    model: QwenCALM,
+    params,
+    text_ids: jnp.ndarray,  # [B, T_txt]
+    attention_mask: jnp.ndarray,  # [B, T_txt]
+    rng: jax.Array,
+    steps: int = 50,
+    cfg_scale: float = 2.5,
+    t_aud: int = 384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """text -> (denormalized latents [B, t_aud, latent_dim], num_frames [B]).
+
+    Frames >= num_frames[b] are padding; slice before VAE decode or mask.
+    """
+    cond_vec, text_ctx, text_pad = model.apply(
+        params, text_ids, attention_mask, False,
+        method=QwenCALM.encode_text_for_tts,
+    )
+    num_frames_f = model.apply(
+        params, text_ctx, text_pad, method=QwenCALM.predict_length
+    )
+    num_frames = num_frames_f.astype(jnp.int32)
+
+    dur_scaled = model.apply(
+        params, text_ctx, text_pad, num_frames, method=QwenCALM.predict_durations
+    )
+    valid = ~text_pad
+    dur_int = jnp.floor(dur_scaled).astype(jnp.int32)
+    dur_int = jnp.where(valid, jnp.maximum(dur_int, 1), 0)
+    align = build_alignment_from_durations(
+        dur_int, valid, t_aud, budget=num_frames
+    )
+
+    aligned_text = jnp.einsum(
+        "bnt,bnd->btd", align.astype(text_ctx.dtype), text_ctx
+    )
+    condition = aligned_text + cond_vec
+    frame_valid = jnp.arange(t_aud)[None, :] < num_frames[:, None]
+    condition = condition * frame_valid[:, :, None].astype(condition.dtype)
+
+    B = text_ids.shape[0]
+    x_init = jax.random.normal(
+        rng, (B, t_aud, model.cfg.latent_dim), condition.dtype
+    )
+
+    def head_fn(c, x, t, ctx, cmask, xmask):
+        return model.apply(
+            params, c, x, t, ctx, cmask, xmask, method=QwenCALM.tts_flow_fn
+        )
+
+    x = ode_solve(
+        head_fn, condition, x_init, steps, cfg_scale,
+        context=text_ctx, context_mask=text_pad, x_mask=~frame_valid,
+    )
+    latents = model.apply(params, x, method=QwenCALM.denormalize_latents)
+    return latents, num_frames
+
+
+def asr_generate_ids(
+    model: QwenCALM,
+    params,
+    latents: jnp.ndarray,  # [B, T_aud, latent_dim] raw
+    audio_mask: jnp.ndarray,  # [B, T_aud]
+    prompt_ids: jnp.ndarray,  # [B, T_prompt]
+    prompt_mask: jnp.ndarray,  # [B, T_prompt]
+    rng: jax.Array,
+    steps: int = 20,
+    cfg_scale: float = 1.0,
+    num_queries: int = 96,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """audio latents -> (token ids [B, num_queries], query lengths [B]).
+
+    Query length heuristic min(max(T_aud//4, 10), max_text_len) from
+    reference eval_calm.py:334, computed per sample from the audio mask.
+    """
+    condition = model.apply(
+        params, latents, audio_mask, prompt_ids, prompt_mask, num_queries,
+        method=QwenCALM.asr_encode_audio,
+    )
+    t_aud_valid = jnp.sum(audio_mask.astype(jnp.int32), axis=1)
+    q_len = jnp.clip(t_aud_valid // 4, 10, model.cfg.max_text_len)
+    q_valid = jnp.arange(num_queries)[None, :] < q_len[:, None]
+    condition = condition * q_valid[:, :, None].astype(condition.dtype)
+
+    B = latents.shape[0]
+    x_init = jax.random.normal(
+        rng, (B, num_queries, model.cfg.qwen.hidden_size), condition.dtype
+    )
+
+    def head_fn(c, x, t, ctx, cmask, xmask):
+        return model.apply(
+            params, c, x, t, ctx, cmask, xmask, method=QwenCALM.asr_flow_fn
+        )
+
+    x = ode_solve(head_fn, condition, x_init, steps, cfg_scale, x_mask=~q_valid)
+    ids = model.apply(params, x, method=QwenCALM.search_nearest_tokens)
+    return ids, q_len
+
+
+def truncate_at_eos(
+    ids: np.ndarray, q_len: int, extra_eos: Optional[set] = None
+) -> list:
+    """Host-side EOS truncation (reference eval_calm.py:365-379)."""
+    eos = set(EOS_CANDIDATES) | (extra_eos or set())
+    out = []
+    for i, tid in enumerate(ids[:q_len].tolist()):
+        if tid in eos:
+            break
+        out.append(tid)
+    return out
+
+
+class CALMInference:
+    """Convenience host-side wrapper binding model + params + tokenizer."""
+
+    def __init__(self, model: QwenCALM, params, tokenizer=None,
+                 max_audio_len: Optional[int] = None):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_audio_len = max_audio_len or model.cfg.max_audio_len
+        # jit once per static (steps, cfg_scale, grid) combination; the model
+        # is closed over (its config holds lists, so it cannot be a static arg)
+        self._tts_jit = jax.jit(
+            functools.partial(tts_generate_latents, model),
+            static_argnames=("steps", "cfg_scale", "t_aud"),
+        )
+        self._asr_jit = jax.jit(
+            functools.partial(asr_generate_ids, model),
+            static_argnames=("steps", "cfg_scale", "num_queries"),
+        )
+
+    def _encode_prompt(self, text: str):
+        ids = self.tokenizer.encode(text, add_special_tokens=False)
+        return np.asarray(ids, np.int32)
+
+    def tts(self, text: str, rng: jax.Array, steps: int = 50,
+            cfg_scale: float = 2.5) -> Tuple[np.ndarray, int]:
+        """-> (latents [T_frames, latent_dim], num_frames)."""
+        ids = self._encode_prompt(TTS_PROMPT.format(text))[None]
+        mask = np.ones_like(ids)
+        latents, num_frames = self._tts_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            rng, steps=steps, cfg_scale=cfg_scale, t_aud=self.max_audio_len,
+        )
+        n = int(num_frames[0])
+        return np.asarray(latents[0, :n]), n
+
+    def asr(self, latents: np.ndarray, rng: jax.Array, steps: int = 20,
+            cfg_scale: float = 1.0) -> str:
+        """latents [T, latent_dim] -> transcript string."""
+        T = latents.shape[0]
+        t_max = self.max_audio_len
+        pad = np.zeros((t_max, latents.shape[1]), latents.dtype)
+        pad[: min(T, t_max)] = latents[:t_max]
+        mask = (np.arange(t_max) < T).astype(np.int32)
+        prompt = self._encode_prompt(ASR_PROMPT)[None]
+        ids, q_len = self._asr_jit(
+            self.params, jnp.asarray(pad[None]),
+            jnp.asarray(mask[None]), jnp.asarray(prompt),
+            jnp.ones_like(jnp.asarray(prompt)), rng,
+            steps=steps, cfg_scale=cfg_scale,
+            num_queries=self.model.cfg.max_text_len,
+        )
+        extra = set()
+        if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
+            extra.add(self.tokenizer.eos_token_id)
+        final = truncate_at_eos(np.asarray(ids[0]), int(q_len[0]), extra)
+        return self.tokenizer.decode(final, skip_special_tokens=True)

@@ -1,0 +1,407 @@
+"""QwenCALM: continuous audio language model (main composite model).
+
+Re-design of the reference QwenCALM (models/modeling_calm.py:534-936) for
+TPU/XLA:
+
+  - Frozen Qwen2 backbone (+LoRA) conditions two DiT flow heads:
+    TTS (text -> VAE-latent velocity field, gated cross-attn to text) and
+    ASR (audio -> LLM-embedding velocity field, positional-query conditioned).
+  - The reference routes mixed-task batches with dynamic index lists
+    (modeling_calm.py:704, 831). Under XLA that forces recompilation or
+    wasted dual compute, so here batches are task-homogeneous: the data
+    pipeline emits "tts" or "asr" batches and the train step dispatches to
+    `forward_tts` / `forward_asr` — two static jit programs.
+  - All lengths are pad-to-max + mask; MAS and alignment run on-device.
+
+Component names mirror the reference checkpoint layout (input_proj,
+tts_flow_head, asr_flow_head, soa_embed, tts_len_predictor,
+tts_dur_predictor, asr_query_embed, asr_cross_attn) so component-sharded
+checkpoints convert one-to-one (reference save_pretrained,
+modeling_calm.py:911-936).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from audio_calm_tpu.config import CALMModelConfig
+from audio_calm_tpu.models.calm_heads import (
+    AudioInputProjector,
+    PredictorMLP,
+    TransformerFlowHead,
+)
+from audio_calm_tpu.models.qwen2 import Qwen2Embed, Qwen2Model
+from audio_calm_tpu.ops.attention import MultiheadAttention
+from audio_calm_tpu.ops.flow import compute_flow_loss
+from audio_calm_tpu.ops.mas import monotonic_alignment_search
+
+
+def _as_stat(x, dim: int) -> jnp.ndarray:
+    """Scalar or [D] normalization stat -> broadcastable [1, 1, D or 1]."""
+    arr = jnp.asarray(x, dtype=jnp.float32)
+    if arr.ndim == 1:
+        assert arr.shape[0] == dim
+        return arr[None, None, :]
+    return arr.reshape(1, 1, 1)
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch F.smooth_l1_loss (beta=1), mean reduction."""
+    d = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+class QwenCALM(nn.Module):
+    cfg: CALMModelConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        c = self.cfg
+        qdim = c.qwen.hidden_size
+        self.embed = Qwen2Embed(c.qwen)
+        self.llm = Qwen2Model(
+            c.qwen,
+            lora=c.lora if c.use_lora else None,
+            gradient_checkpointing=True,
+            dtype=self.dtype,
+        )
+        self.input_proj = AudioInputProjector(qdim, use_rope=False)
+        # learned start-of-audio embedding (reference inits from the mean
+        # vocab embedding, modeling_calm.py:568-572; see init_soa_value)
+        self.soa_embed = self.param(
+            "soa_embed", nn.initializers.normal(0.02), (1, 1, qdim)
+        )
+        self.asr_cross_attn = MultiheadAttention(qdim, 16, dropout=0.1)
+        self.asr_query_embed = nn.Embed(c.max_text_len, qdim)
+        self.tts_flow_head = TransformerFlowHead(
+            input_dim=qdim,
+            output_dim=c.latent_dim,
+            hidden_dim=c.tts_flow_hidden_dim,
+            num_layers=c.tts_flow_num_layers,
+            num_heads=c.flow_num_heads,
+            context_dim=qdim,
+        )
+        self.asr_flow_head = TransformerFlowHead(
+            input_dim=qdim,
+            output_dim=qdim,
+            hidden_dim=c.asr_flow_hidden_dim,
+            num_layers=c.asr_flow_num_layers,
+            num_heads=c.flow_num_heads,
+            context_dim=None,
+        )
+        self.tts_len_predictor = PredictorMLP(qdim // 2)
+        self.tts_dur_predictor = PredictorMLP(qdim // 2)
+
+    # ------------------------------------------------------------------
+    # shared helpers
+    # ------------------------------------------------------------------
+    def normalize_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        mean = _as_stat(c.latent_mean, c.latent_dim)
+        std = _as_stat(c.latent_std, c.latent_dim)
+        return ((latents - mean) / std).astype(self.dtype)
+
+    def denormalize_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        mean = _as_stat(c.latent_mean, c.latent_dim)
+        std = _as_stat(c.latent_std, c.latent_dim)
+        return latents.astype(jnp.float32) * std + mean
+
+    def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed(ids)
+
+    def search_nearest_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Cosine-nearest vocab ids for continuous embeddings [..., D].
+
+        argmin cdist on L2-normalized vectors == argmax cosine similarity,
+        computed as one [T, D] @ [D, V] matmul (MXU) instead of the
+        reference's [T, V] torch.cdist (modeling_calm.py:630-636).
+        """
+        table = self.embed.variables["params"]["embedding"]
+        xn = x.astype(jnp.float32)
+        xn = xn / jnp.maximum(jnp.linalg.norm(xn, axis=-1, keepdims=True), 1e-12)
+        tn = table.astype(jnp.float32)
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)
+        sim = jnp.einsum("...d,vd->...v", xn, tn,
+                         preferred_element_type=jnp.float32)
+        return jnp.argmax(sim, axis=-1)
+
+    def _llm_encode(self, inputs_embeds, attention_mask, train):
+        pos_ids = jnp.maximum(
+            jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0
+        )
+        return self.llm(
+            inputs_embeds, attention_mask=attention_mask,
+            position_ids=pos_ids, train=train,
+        )
+
+    def encode_text_for_tts(
+        self, text_ids: jnp.ndarray, attention_mask: jnp.ndarray, train: bool
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """[text, SOA] through the LLM -> (condition_vec [B,1,D],
+        text_context [B,T,D], text_pad_mask [B,T] True=PAD)."""
+        B = text_ids.shape[0]
+        text_embeds = self.embed(text_ids).astype(self.dtype)
+        soa = jnp.broadcast_to(
+            self.soa_embed.astype(self.dtype), (B, 1, self.cfg.qwen.hidden_size)
+        )
+        inp = jnp.concatenate([text_embeds, soa], axis=1)
+        full_mask = jnp.concatenate(
+            [attention_mask, jnp.ones((B, 1), attention_mask.dtype)], axis=1
+        )
+        hidden = self._llm_encode(inp, full_mask, train)
+        condition_vec = hidden[:, -1:, :]
+        text_context = hidden[:, :-1, :]
+        text_pad_mask = attention_mask == 0
+        return condition_vec, text_context, text_pad_mask
+
+    # ------------------------------------------------------------------
+    # TTS training branch (reference modeling_calm.py:703-827)
+    # ------------------------------------------------------------------
+    def forward_tts(
+        self,
+        text_ids: jnp.ndarray,  # [B, T_txt]
+        attention_mask: jnp.ndarray,  # [B, T_txt] 1 = valid
+        latents: jnp.ndarray,  # [B, T_aud, latent_dim] raw (unnormalized)
+        audio_mask: jnp.ndarray,  # [B, T_aud] 1 = valid
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        gt = self.normalize_latents(latents)
+        B, T_aud, _ = gt.shape
+
+        cond_vec, text_ctx, text_pad = self.encode_text_for_tts(
+            text_ids, attention_mask, train
+        )
+        tgt_mask = audio_mask.astype(bool)
+
+        # --- length prediction ---
+        valid = ~text_pad
+        valid_f = valid.astype(jnp.float32)
+        text_mean = jnp.sum(
+            text_ctx.astype(jnp.float32) * valid_f[:, :, None], axis=1
+        ) / jnp.maximum(jnp.sum(valid_f, axis=1, keepdims=True), 1.0)
+        len_pred = self.tts_len_predictor(text_mean.astype(self.dtype))
+        len_pred = len_pred.astype(jnp.float32)
+        gt_len = jnp.sum(audio_mask.astype(jnp.float32), axis=1)
+        text_len = jnp.sum(valid_f, axis=1)
+        min_f = jnp.maximum(text_len * 2.0, 10.0)
+        max_f = jnp.minimum(text_len * 12.0, float(c.max_audio_len))
+        len_pred_c = jnp.clip(len_pred, min_f, max_f)
+        len_loss = smooth_l1(jnp.log1p(len_pred_c), jnp.log1p(gt_len))
+
+        # --- MAS duration ground truth (no grad) ---
+        audio_for_align = jax.lax.stop_gradient(self.input_proj(gt))
+        tn = text_ctx.astype(jnp.float32)
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)
+        an = audio_for_align.astype(jnp.float32)
+        an = an / jnp.maximum(jnp.linalg.norm(an, axis=-1, keepdims=True), 1e-12)
+        sim = jnp.einsum("bnd,btd->bnt", tn, an)
+        sim = jnp.where(text_pad[:, :, None], -1e9, sim)
+        sim = jnp.where(~tgt_mask[:, None, :], -1e9, sim)
+        log_p = jax.nn.log_softmax(sim, axis=1)
+        align_gt = jax.lax.stop_gradient(monotonic_alignment_search(log_p))
+        gt_dur = jnp.sum(align_gt, axis=-1)  # [B, T_txt]
+
+        # --- duration prediction ---
+        dur_raw = self.tts_dur_predictor(text_ctx)
+        dur_pred = jax.nn.softplus(dur_raw.astype(jnp.float32)) + 1e-4
+        dur_pred = jnp.where(text_pad, 0.0, dur_pred)
+        dur_sum = jnp.maximum(jnp.sum(dur_pred, axis=1, keepdims=True), 1e-4)
+        dur_scaled = dur_pred * (T_aud / dur_sum)
+        dur_loss = jnp.mean(
+            jnp.abs(
+                jnp.log1p(dur_scaled * valid_f) - jnp.log1p(gt_dur * valid_f)
+            )
+        )
+
+        # --- condition + flow loss (teacher-forced GT alignment) ---
+        aligned_text = jnp.einsum(
+            "bnt,bnd->btd", align_gt.astype(text_ctx.dtype), text_ctx
+        )
+        condition = aligned_text + cond_vec
+        condition = condition * tgt_mask[:, :, None].astype(condition.dtype)
+        target = gt * tgt_mask[:, :, None].astype(gt.dtype)
+
+        def head_fn(cond, x, t, ctx, cmask, xmask):
+            return self.tts_flow_head(
+                cond, x, t, context=ctx, context_mask=cmask, x_mask=xmask,
+                train=train,
+            )
+
+        tts_loss = compute_flow_loss(
+            head_fn,
+            self.make_rng("flow"),
+            condition,
+            target,
+            tgt_mask,
+            cfg_dropout_prob=c.cfg_dropout_prob if train else 0.0,
+            context=text_ctx,
+            context_mask=text_pad,
+            train=train,
+        )
+
+        loss = (
+            tts_loss * c.tts_loss_weight
+            + len_loss * c.len_pred_loss_weight
+            + dur_loss * c.dur_pred_loss_weight
+        )
+        return {
+            "loss": loss,
+            "loss_tts": tts_loss,
+            "loss_len": len_loss,
+            "loss_dur": dur_loss,
+        }
+
+    # ------------------------------------------------------------------
+    # ASR training branch (reference modeling_calm.py:829-894)
+    # ------------------------------------------------------------------
+    def forward_asr(
+        self,
+        text_ids: jnp.ndarray,  # [B, T_txt] prompt ids
+        attention_mask: jnp.ndarray,  # [B, T_txt]
+        latents: jnp.ndarray,  # [B, T_aud, latent_dim] raw
+        audio_mask: jnp.ndarray,  # [B, T_aud]
+        labels: jnp.ndarray,  # [B, T_text] target ids, -100 = ignore
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        gt = self.normalize_latents(latents)
+        B, T_aud, _ = gt.shape
+
+        audio_embeds = self.input_proj(gt)
+        text_embeds = self.embed(text_ids).astype(self.dtype)
+        soa = jnp.broadcast_to(
+            self.soa_embed.astype(self.dtype), (B, 1, c.qwen.hidden_size)
+        )
+        inp = jnp.concatenate([audio_embeds.astype(self.dtype), soa, text_embeds], axis=1)
+        full_mask = jnp.concatenate(
+            [
+                audio_mask.astype(jnp.int32),
+                jnp.ones((B, 1), jnp.int32),
+                attention_mask.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        hidden = self._llm_encode(inp, full_mask, train)
+        audio_context = hidden[:, :T_aud, :]
+
+        valid_target = labels != -100
+        safe_ids = jnp.where(valid_target, labels, 0)
+        target_embs = self.embed(safe_ids)
+
+        T_text = labels.shape[1]
+        pos_ids = jnp.clip(jnp.arange(T_text), 0, c.max_text_len - 1)
+        queries = self.asr_query_embed(pos_ids)[None].astype(self.dtype)
+        queries = jnp.broadcast_to(queries, (B, T_text, c.qwen.hidden_size))
+
+        attn_out = self.asr_cross_attn(
+            queries,
+            audio_context,
+            audio_context,
+            key_padding_mask=audio_mask == 0,
+            train=train,
+        )
+        condition = attn_out * valid_target[:, :, None].astype(attn_out.dtype)
+        target = (
+            target_embs.astype(self.dtype)
+            * valid_target[:, :, None].astype(self.dtype)
+        )
+
+        def head_fn(cond, x, t, ctx, cmask, xmask):
+            return self.asr_flow_head(cond, x, t, x_mask=xmask, train=train)
+
+        asr_loss = compute_flow_loss(
+            head_fn,
+            self.make_rng("flow"),
+            condition,
+            target,
+            valid_target,
+            cfg_dropout_prob=c.cfg_dropout_prob if train else 0.0,
+            x_mask=~valid_target,
+            train=train,
+        )
+        return {"loss": asr_loss * c.asr_loss_weight, "loss_asr": asr_loss}
+
+    # ------------------------------------------------------------------
+    # Inference-side helpers (full pipelines live in eval/)
+    # ------------------------------------------------------------------
+    def predict_length(
+        self, text_ctx: jnp.ndarray, text_pad: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Clamped frame-count prediction [B] (reference eval_calm.py:449-460)."""
+        c = self.cfg
+        valid_f = (~text_pad).astype(jnp.float32)
+        text_mean = jnp.sum(
+            text_ctx.astype(jnp.float32) * valid_f[:, :, None], axis=1
+        ) / jnp.maximum(jnp.sum(valid_f, axis=1, keepdims=True), 1.0)
+        len_pred = self.tts_len_predictor(text_mean.astype(self.dtype))
+        text_len = jnp.sum(valid_f, axis=1)
+        min_f = jnp.maximum(text_len * 2.0, 10.0)
+        max_f = jnp.minimum(text_len * 12.0, float(c.max_audio_len))
+        return jnp.clip(len_pred.astype(jnp.float32), min_f, max_f)
+
+    def predict_durations(
+        self, text_ctx: jnp.ndarray, text_pad: jnp.ndarray, num_frames: jnp.ndarray
+    ) -> jnp.ndarray:
+        """softplus durations scaled to num_frames [B] (eval_calm.py:466-476)."""
+        dur_raw = self.tts_dur_predictor(text_ctx)
+        dur = jax.nn.softplus(dur_raw.astype(jnp.float32)) + 1e-4
+        dur = jnp.where(text_pad, 0.0, dur)
+        dsum = jnp.maximum(jnp.sum(dur, axis=1, keepdims=True), 1e-4)
+        return dur * (num_frames[:, None].astype(jnp.float32) / dsum)
+
+    def tts_flow_fn(self, condition, x, t, context, context_mask, x_mask):
+        return self.tts_flow_head(
+            condition, x, t, context=context, context_mask=context_mask,
+            x_mask=x_mask, train=False,
+        )
+
+    def asr_flow_fn(self, condition, x, t, context=None, context_mask=None,
+                    x_mask=None):
+        return self.asr_flow_head(condition, x, t, x_mask=x_mask, train=False)
+
+    def asr_encode_audio(
+        self, latents: jnp.ndarray, audio_mask: jnp.ndarray,
+        prompt_ids: jnp.ndarray, prompt_mask: jnp.ndarray, num_queries: int,
+    ) -> jnp.ndarray:
+        """Audio + SOA + prompt through LLM, then positional-query cross-attn
+        -> condition [B, num_queries, D] (reference eval_calm.py:306-352)."""
+        c = self.cfg
+        gt = self.normalize_latents(latents)
+        B, T_aud, _ = gt.shape
+        audio_embeds = self.input_proj(gt).astype(self.dtype)
+        soa = jnp.broadcast_to(
+            self.soa_embed.astype(self.dtype), (B, 1, c.qwen.hidden_size)
+        )
+        prompt_embeds = self.embed(prompt_ids).astype(self.dtype)
+        inp = jnp.concatenate([audio_embeds, soa, prompt_embeds], axis=1)
+        full_mask = jnp.concatenate(
+            [
+                audio_mask.astype(jnp.int32),
+                jnp.ones((B, 1), jnp.int32),
+                prompt_mask.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        hidden = self._llm_encode(inp, full_mask, train=False)
+        audio_context = hidden[:, :T_aud, :]
+        pos = jnp.clip(jnp.arange(num_queries), 0, c.max_text_len - 1)
+        queries = jnp.broadcast_to(
+            self.asr_query_embed(pos)[None].astype(self.dtype),
+            (B, num_queries, c.qwen.hidden_size),
+        )
+        return self.asr_cross_attn(
+            queries, audio_context, audio_context,
+            key_padding_mask=audio_mask == 0, train=False,
+        )
+
+
+def init_soa_value(embedding_table: jnp.ndarray) -> jnp.ndarray:
+    """Mean of vocab embeddings 1000..2000 as the SOA init
+    (reference modeling_calm.py:568-572)."""
+    return jnp.mean(embedding_table[1000:2000], axis=0).reshape(1, 1, -1)
