@@ -1,0 +1,153 @@
+"""Batching: static-shape collation + task-homogeneous batch loader.
+
+The reference pads each batch to its longest member (train_calm.py:193-221),
+which under XLA would trigger a recompile per unique shape. Here every batch
+is padded to the static (max_text_len, max_audio_len) grid — jit compiles
+exactly twice (tts + asr programs).
+
+SpecAugment (one random 5-10 frame time mask on ASR training batches) matches
+reference train_calm.py:184-191.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from audio_calm_tpu.data.datasets import CalmDataset, CalmExample, MelDataset
+
+
+def spec_augment(
+    audio: np.ndarray, rng: np.random.Generator, min_len: int = 5, max_len: int = 10
+) -> np.ndarray:
+    """Zero one random time span of min_len..max_len frames (T > 20 only)."""
+    T = audio.shape[0]
+    if T <= 20:
+        return audio
+    mask_len = int(rng.integers(min_len, max_len + 1))
+    t0 = int(rng.integers(0, T - mask_len + 1))
+    audio = audio.copy()
+    audio[t0 : t0 + mask_len] = 0.0
+    return audio
+
+
+def collate_calm(
+    examples: List[CalmExample],
+    pad_token_id: int,
+    max_text_len: int,
+    max_audio_len: int,
+    latent_dim: int,
+    training: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> Dict[str, np.ndarray]:
+    """-> static-shape batch dict (channels-last audio [B, T, D])."""
+    B = len(examples)
+    text_ids = np.full((B, max_text_len), pad_token_id, np.int32)
+    labels = np.full((B, max_text_len), -100, np.int32)
+    audio = np.zeros((B, max_audio_len, latent_dim), np.float32)
+    attention_mask = np.zeros((B, max_text_len), np.int32)
+    audio_mask = np.zeros((B, max_audio_len), np.int32)
+    for i, ex in enumerate(examples):
+        ids = ex.input_ids[:max_text_len]
+        text_ids[i, : len(ids)] = ids
+        attention_mask[i, : len(ids)] = 1
+        lab = ex.labels[:max_text_len]
+        labels[i, : len(lab)] = lab
+        a = ex.audio[:max_audio_len]
+        if training and ex.mode == "asr" and rng is not None:
+            a = spec_augment(a, rng)
+        audio[i, : len(a)] = a
+        audio_mask[i, : len(a)] = 1
+    return {
+        "text_ids": text_ids,
+        "attention_mask": attention_mask,
+        "labels": labels,
+        "latents": audio,
+        "audio_mask": audio_mask,
+    }
+
+
+def calm_batch_iterator(
+    dataset: CalmDataset,
+    batch_size: int,
+    pad_token_id: int,
+    latent_dim: int,
+    task_prob_tts: float = 0.5,
+    training: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield task-homogeneous static batches, dropping ragged tails.
+
+    Each batch's task is drawn ~ Bernoulli(task_prob_tts) among available
+    tasks; corrupt samples are skipped and backfilled (the reference instead
+    emits dummy batches, train_calm.py:223-231).
+    """
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        orders = {}
+        if dataset.tts_items:
+            orders["tts"] = list(rng.permutation(len(dataset.tts_items)))
+        if dataset.asr_items:
+            orders["asr"] = list(rng.permutation(len(dataset.asr_items)))
+        if not orders:
+            return
+        cursors = {k: 0 for k in orders}
+        while True:
+            avail = [
+                k for k in orders
+                if cursors[k] + batch_size <= len(orders[k])
+            ]
+            if not avail:
+                break
+            if "tts" in avail and (
+                "asr" not in avail or rng.random() < task_prob_tts
+            ):
+                task = "tts"
+            else:
+                task = "asr"
+            examples = []
+            while len(examples) < batch_size and cursors[task] < len(orders[task]):
+                ex = dataset.get(task, orders[task][cursors[task]])
+                cursors[task] += 1
+                if ex is not None:
+                    examples.append(ex)
+            if len(examples) < batch_size:
+                break
+            batch = collate_calm(
+                examples, pad_token_id, dataset.max_text_len,
+                dataset.max_audio_len, latent_dim, training=training, rng=rng,
+            )
+            batch["task"] = task  # host-side routing key (not a device array)
+            yield batch
+        epoch += 1
+        if not training:
+            return
+
+
+def mel_batch_iterator(
+    dataset: MelDataset,
+    batch_size: int,
+    training: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(dataset))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            mels = []
+            for j in order[i : i + batch_size]:
+                try:
+                    mels.append(dataset.get(int(j), rng if training else None))
+                except Exception:
+                    continue
+            if len(mels) < batch_size:
+                continue
+            yield {"mel": np.stack(mels)}
+        epoch += 1
+        if not training:
+            return

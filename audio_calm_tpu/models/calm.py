@@ -401,7 +401,48 @@ class QwenCALM(nn.Module):
         )
 
 
+def init_calm_params(
+    model: QwenCALM,
+    rng: jax.Array,
+    batch_size: int = 1,
+    text_len: int = 4,
+    audio_len: int = 8,
+) -> Dict[str, Any]:
+    """Initialize ALL components (both task branches share the tree).
+
+    linen initializes lazily per code path, so forward_tts alone would skip
+    the ASR cross-attn / query / head; init both and merge (identical seeds
+    give identical shared params).
+    """
+    c = model.cfg
+    rngs = {
+        "params": rng,
+        "flow": jax.random.fold_in(rng, 1),
+        "dropout": jax.random.fold_in(rng, 2),
+    }
+    text_ids = jnp.zeros((batch_size, text_len), jnp.int32)
+    mask = jnp.ones((batch_size, text_len), jnp.int32)
+    latents = jnp.zeros((batch_size, audio_len, c.latent_dim), jnp.float32)
+    amask = jnp.ones((batch_size, audio_len), jnp.int32)
+    labels = jnp.zeros((batch_size, text_len), jnp.int32)
+    p_tts = model.init(
+        rngs, text_ids, mask, latents, amask, train=False,
+        method=QwenCALM.forward_tts,
+    )["params"]
+    p_asr = model.init(
+        rngs, text_ids, mask, latents, amask, labels, train=False,
+        method=QwenCALM.forward_asr,
+    )["params"]
+    merged = {**p_asr, **p_tts}
+    # SOA initialized from the mean vocab embedding, as the reference does
+    merged["soa_embed"] = init_soa_value(merged["embed"]["embedding"])
+    return merged
+
+
 def init_soa_value(embedding_table: jnp.ndarray) -> jnp.ndarray:
     """Mean of vocab embeddings 1000..2000 as the SOA init
-    (reference modeling_calm.py:568-572)."""
-    return jnp.mean(embedding_table[1000:2000], axis=0).reshape(1, 1, -1)
+    (reference modeling_calm.py:568-572); clipped for tiny test vocabs."""
+    v = embedding_table.shape[0]
+    lo = min(1000, max(v // 2, 0))
+    hi = min(2000, v)
+    return jnp.mean(embedding_table[lo:hi], axis=0).reshape(1, 1, -1)

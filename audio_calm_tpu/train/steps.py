@@ -1,0 +1,194 @@
+"""Train-step construction: pure functions + sharded jit wrappers.
+
+Data parallelism comes from sharding the batch on the mesh "data" axis;
+gradients are averaged by XLA-inserted collectives. Optimizer state is
+ZeRO-sharded (parallel/mesh.zero_sharding), so grad reduction becomes
+reduce-scatter + the update all-gathers — DeepSpeed ZeRO-2's dataflow
+(reference ds_config.json:31-41) from annotations alone.
+
+CALM training dispatches task-homogeneous batches to one of two static jit
+programs (tts / asr) — see models/calm.py header for why.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio_calm_tpu.models.calm import QwenCALM
+from audio_calm_tpu.models.vae import AcousticVAE
+from audio_calm_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated,
+    zero_sharding,
+)
+from audio_calm_tpu.train.optim import merge_partitions
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    trainable: Any  # flat {path-tuple: array}
+    opt_state: Any
+
+
+def init_train_state(trainable_flat: Dict, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable_flat,
+        opt_state=tx.init(trainable_flat),
+    )
+
+
+def make_calm_step(
+    model: QwenCALM, tx, task: str
+) -> Callable:
+    """Returns step(state, frozen_flat, batch, rng) -> (state, metrics)."""
+    assert task in ("tts", "asr")
+
+    def step(state: TrainState, frozen: Dict, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        rngs = {
+            "flow": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+        }
+
+        def loss_fn(trainable):
+            params = merge_partitions(trainable, frozen)
+            if task == "tts":
+                out = model.apply(
+                    {"params": params},
+                    batch["text_ids"], batch["attention_mask"],
+                    batch["latents"], batch["audio_mask"],
+                    train=True, rngs=rngs, method=QwenCALM.forward_tts,
+                )
+            else:
+                out = model.apply(
+                    {"params": params},
+                    batch["text_ids"], batch["attention_mask"],
+                    batch["latents"], batch["audio_mask"], batch["labels"],
+                    train=True, rngs=rngs, method=QwenCALM.forward_asr,
+                )
+            return out["loss"], out
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(
+            step=state.step + 1, trainable=trainable, opt_state=opt_state
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_calm_eval_step(model: QwenCALM, task: str) -> Callable:
+    def step(trainable: Dict, frozen: Dict, batch: Dict, rng) -> Dict:
+        params = merge_partitions(trainable, frozen)
+        rngs = {"flow": rng}
+        if task == "tts":
+            return model.apply(
+                {"params": params},
+                batch["text_ids"], batch["attention_mask"],
+                batch["latents"], batch["audio_mask"],
+                train=False, rngs=rngs, method=QwenCALM.forward_tts,
+            )
+        return model.apply(
+            {"params": params},
+            batch["text_ids"], batch["attention_mask"],
+            batch["latents"], batch["audio_mask"], batch["labels"],
+            train=False, rngs=rngs, method=QwenCALM.forward_asr,
+        )
+
+    return step
+
+
+def make_vae_step(model: AcousticVAE, tx) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics). batch: {"mel"}."""
+
+    def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        rngs = {
+            "noise": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+        }
+
+        def loss_fn(trainable):
+            params = merge_partitions(trainable, {})
+            out = model.apply({"params": params}, batch["mel"], train=True,
+                              rngs=rngs)
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics = {
+            k: out[k]
+            for k in ("loss", "rec_loss", "ssim_loss", "stft_loss", "kl_loss")
+        }
+        # latent-health stats (reference train_vae.py:134-147)
+        metrics["mu_std"] = jnp.std(out["mu"])
+        metrics["var_mean"] = jnp.mean(jnp.exp(out["logvar"]))
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, trainable=trainable,
+                       opt_state=opt_state),
+            metrics,
+        )
+
+    return step
+
+
+def shard_step(
+    step_fn: Callable,
+    mesh,
+    state: TrainState,
+    frozen: Optional[Dict] = None,
+):
+    """jit a step with DP batch sharding + ZeRO opt-state sharding.
+
+    Returns (jitted_step, sharded_state) — the state is placed according to
+    the computed shardings before training starts.
+    """
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0), state
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    state_sh = TrainState(
+        step=repl,
+        trainable=jax.tree_util.tree_map(lambda _: repl, state.trainable),
+        opt_state=zero_sharding(mesh, state.opt_state),
+    )
+    state = jax.device_put(state, state_sh)
+
+    if frozen is not None:
+        frozen_sh = jax.tree_util.tree_map(lambda _: repl, frozen)
+
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(state_sh, frozen_sh, bsh, repl),
+            out_shardings=(state_sh, None),
+            donate_argnums=(0,),
+        )
+    else:
+        def step2(state, batch, rng):
+            return step_fn(state, batch, rng)
+
+        jitted = jax.jit(
+            step2,
+            in_shardings=(state_sh, bsh, repl),
+            out_shardings=(state_sh, None),
+            donate_argnums=(0,),
+        )
+    return jitted, state

@@ -135,8 +135,11 @@ def test_init_soa_value(model_and_params):
 
 
 def test_component_names_match_reference_layout(model_and_params):
-    _, params, _ = model_and_params
-    top = set(params["params"].keys())
+    from audio_calm_tpu.models.calm import init_calm_params
+
+    model, _, _ = model_and_params
+    full = init_calm_params(model, jax.random.PRNGKey(0))
+    top = set(full.keys())
     expected = {
         "embed", "llm", "input_proj", "soa_embed", "asr_cross_attn",
         "asr_query_embed", "tts_flow_head", "asr_flow_head",

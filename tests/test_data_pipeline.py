@@ -1,0 +1,220 @@
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from audio_calm_tpu.data.collator import (
+    calm_batch_iterator,
+    collate_calm,
+    mel_batch_iterator,
+    spec_augment,
+)
+from audio_calm_tpu.data.datasets import CalmDataset, MelDataset, load_array
+from audio_calm_tpu.data.preprocess import (
+    CorpusProcessor,
+    compute_stats,
+    librispeech_text,
+    libritts_text,
+    load_audio,
+    peak_normalize,
+    resample_linear,
+    scan_audio_files,
+)
+
+
+class StubTok:
+    eos_token_id = 9
+
+    def encode(self, text, add_special_tokens=False):
+        return [(ord(c) % 50) + 1 for c in text][:64]
+
+
+def _write_wav(path, n=8000, sr=16000, freq=440):
+    t = np.arange(n) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    """LibriSpeech-style corpus: spk-chap dirs with flac->wav + trans.txt."""
+    root = tmp_path / "raw" / "dev-clean" / "1" / "2"
+    root.mkdir(parents=True)
+    texts = {}
+    for i in range(5):
+        fid = f"1-2-{i:04d}"
+        _write_wav(str(root / f"{fid}.wav"), n=4000 + 2000 * i)
+        texts[fid] = f"sample text number {i}"
+    with open(root / "1-2.trans.txt", "w") as f:
+        for fid, t in texts.items():
+            f.write(f"{fid} {t}\n")
+    return tmp_path
+
+
+def test_load_audio_and_resample(corpus):
+    p = str(corpus / "raw" / "dev-clean" / "1" / "2" / "1-2-0000.wav")
+    x, sr = load_audio(p)
+    assert sr == 16000 and x.shape == (4000,) and x.dtype == np.float32
+    y = resample_linear(x, 16000, 8000)
+    assert abs(len(y) - 2000) <= 1
+    assert abs(peak_normalize(x).max() - 0.95) < 0.01
+
+
+def test_text_resolvers(corpus, tmp_path):
+    p = str(corpus / "raw" / "dev-clean" / "1" / "2" / "1-2-0003.wav")
+    assert librispeech_text(p) == "sample text number 3"
+    # libritts style
+    d = tmp_path / "ltts"
+    d.mkdir()
+    _write_wav(str(d / "a.wav"))
+    (d / "a.normalized.txt").write_text("hello norm")
+    assert libritts_text(str(d / "a.wav")) == "hello norm"
+
+
+def test_corpus_processor_mel_only(corpus, tmp_path):
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels")
+    files = scan_audio_files(in_root)
+    assert len(files) == 5
+    proc = CorpusProcessor(batch_size=2)
+    stats = proc.process_corpus(
+        files, out_root, in_root, text_resolver=librispeech_text
+    )
+    assert stats.processed == 5 and stats.failed == 0
+    outs = scan = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_root)
+        for f in fs
+        if f.endswith(".npz")
+    ]
+    assert len(outs) == 5
+    mel = load_array(outs[0], key_priority=("mel",))
+    assert mel.shape[1] == 80
+    assert mel.min() >= np.log(1e-5) - 1e-5
+    # transcripts accumulated
+    trans = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_root)
+        for f in fs
+        if f.endswith(".trans.txt")
+    ]
+    assert len(trans) == 1
+    assert len(open(trans[0]).readlines()) == 5
+
+    # resume: second run skips everything
+    stats2 = proc.process_corpus(
+        files, out_root, in_root, text_resolver=librispeech_text
+    )
+    assert stats2.skipped == 5 and stats2.processed == 0
+
+
+def test_corpus_processor_with_vae(corpus, tmp_path):
+    """Latent extraction path: mel -> (mock) VAE encoder downsampling 4x."""
+    import jax.numpy as jnp
+
+    def fake_vae(mel):  # [B, T, 80] -> [B, T//4, 16]
+        B, T, _ = mel.shape
+        return mel[:, ::4, :16]
+
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "latents")
+    proc = CorpusProcessor(vae_apply=fake_vae, total_stride=4, batch_size=3)
+    stats = proc.process_corpus(
+        scan_audio_files(in_root), out_root, in_root,
+        text_resolver=librispeech_text,
+    )
+    assert stats.processed == 5
+    outs = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_root)
+        for f in fs
+        if f.endswith(".npz")
+    ]
+    lat = load_array(outs[0], key_priority=("latent",))
+    assert lat.shape[1] == 16
+
+
+def test_calm_dataset_and_iterator(corpus, tmp_path):
+    # build mel store first
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels")
+    proc = CorpusProcessor(batch_size=4)
+    proc.process_corpus(
+        scan_audio_files(in_root), out_root, in_root,
+        text_resolver=librispeech_text,
+    )
+    tok = StubTok()
+    ds = CalmDataset(
+        tok,
+        asr_latent_dir=out_root, asr_subsets="dev-clean",
+        tts_latent_dir=out_root, tts_subsets="dev-clean",
+        max_text_len=32, max_audio_len=64, task_mode="mix",
+    )
+    assert len(ds.tts_items) == 5 and len(ds.asr_items) == 5
+    ex = ds.get("tts", 0)
+    assert ex.audio.shape[1] == 80
+    assert (ex.labels == -100).all()
+    ex2 = ds.get("asr", 0)
+    assert (ex2.labels >= 0).any()
+
+    batches = list(
+        calm_batch_iterator(
+            ds, batch_size=2, pad_token_id=0, latent_dim=80,
+            task_prob_tts=0.5, training=True, seed=0, epochs=1,
+        )
+    )
+    assert len(batches) >= 2
+    for b in batches:
+        assert b["latents"].shape == (2, 64, 80)
+        assert b["text_ids"].shape == (2, 32)
+        assert b["task"] in ("tts", "asr")
+        assert b["audio_mask"].sum() > 0
+
+
+def test_mel_dataset_crops(corpus, tmp_path):
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels")
+    CorpusProcessor(batch_size=4).process_corpus(
+        scan_audio_files(in_root), out_root, in_root
+    )
+    ds = MelDataset(out_root, "dev-clean", crop_size=20, training=True)
+    assert len(ds) == 5
+    rng = np.random.default_rng(0)
+    crop = ds.get(0, rng)
+    assert crop.shape == (20, 80)
+    batches = list(mel_batch_iterator(ds, 2, training=False, epochs=1))
+    assert batches and batches[0]["mel"].shape == (2, 20, 80)
+
+
+def test_spec_augment_masks_one_span():
+    rng = np.random.default_rng(0)
+    a = np.ones((50, 8), np.float32)
+    out = spec_augment(a, rng)
+    zero_rows = np.where((out == 0).all(axis=1))[0]
+    assert 5 <= len(zero_rows) <= 10
+    assert np.array_equal(zero_rows, np.arange(zero_rows[0], zero_rows[-1] + 1))
+    # untouched input
+    assert (a == 1).all()
+
+
+def test_compute_stats(corpus, tmp_path):
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels")
+    CorpusProcessor(batch_size=4).process_corpus(
+        scan_audio_files(in_root), out_root, in_root
+    )
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_root)
+        for f in fs
+        if f.endswith(".npz")
+    ]
+    mean, std = compute_stats(files)
+    assert np.isfinite(mean) and np.isfinite(std) and std > 0
+    mean_d, std_d = compute_stats(files, per_dim=True)
+    assert mean_d.shape == (80,)
