@@ -40,10 +40,14 @@ def tts_generate_latents(
     steps: int = 50,
     cfg_scale: float = 2.5,
     t_aud: int = 384,
+    num_frames_override: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """text -> (denormalized latents [B, t_aud, latent_dim], num_frames [B]).
 
     Frames >= num_frames[b] are padding; slice before VAE decode or mask.
+    num_frames_override pins the generated length (used by benchmarks where
+    an untrained length predictor would be meaningless); the predictor still
+    runs so its cost is always included.
     """
     cond_vec, text_ctx, text_pad = model.apply(
         params, text_ids, attention_mask, False,
@@ -53,6 +57,8 @@ def tts_generate_latents(
         params, text_ctx, text_pad, method=QwenCALM.predict_length
     )
     num_frames = num_frames_f.astype(jnp.int32)
+    if num_frames_override is not None:
+        num_frames = jnp.full_like(num_frames, num_frames_override)
 
     dur_scaled = model.apply(
         params, text_ctx, text_pad, num_frames, method=QwenCALM.predict_durations

@@ -233,6 +233,56 @@ class TransformerFlowHead(nn.Module):
         return out
 
 
+class FlowMatchingHead(nn.Module):
+    """Legacy dilated-ResNet flow head (reference modeling_calm.py:100-168).
+
+    Kept for checkpoint compatibility with pre-DiT runs; the DiT
+    TransformerFlowHead supersedes it. Per-position time embedding
+    (t broadcast over frames), Conv1d in_proj over [condition | noisy_x |
+    t_emb], N dilated residual blocks, GroupNorm + SiLU + zero-init out conv.
+    """
+
+    input_dim: int
+    output_dim: int
+    hidden_dim: int = 1024
+    num_layers: int = 6
+    time_dim: int = 256
+
+    @nn.compact
+    def __call__(self, condition, noisy_x, t, condition_mask=None,
+                 context=None, context_mask=None, x_mask=None,
+                 train: bool = False):
+        B, T, _ = condition.shape
+        if t.ndim == 1:
+            t = jnp.broadcast_to(t[:, None], (B, T))
+        e = timestep_embedding(t.reshape(-1), self.time_dim)
+        e = nn.Dense(self.time_dim, name="time_fc1")(e)
+        e = jax.nn.silu(e)
+        e = nn.Dense(self.time_dim, name="time_fc2")(e)
+        t_emb = e.reshape(B, T, self.time_dim)
+
+        x = jnp.concatenate([condition, noisy_x, t_emb.astype(condition.dtype)],
+                            axis=-1)
+        if condition_mask is not None:
+            x = x * condition_mask.reshape(-1, 1, 1).astype(x.dtype)
+        x = nn.Conv(self.hidden_dim, (3,), padding=[(1, 1)], name="in_proj")(x)
+        for i in range(self.num_layers):
+            d = 2**i
+            h = jax.nn.silu(x)
+            h = nn.Conv(self.hidden_dim, (3,), padding=[(d, d)],
+                        kernel_dilation=(d,), name=f"res{i}_conv1")(h)
+            h = jax.nn.silu(h)
+            h = nn.Conv(self.hidden_dim, (1,), name=f"res{i}_conv2")(h)
+            x = x + h
+        x = nn.GroupNorm(num_groups=8, name="out_norm")(x)
+        x = jax.nn.silu(x)
+        return nn.Conv(
+            self.output_dim, (3,), padding=[(1, 1)],
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="out_proj",
+        )(x)
+
+
 class PredictorMLP(nn.Module):
     """Linear(d -> d/2) -> GELU -> Linear(d/2 -> 1); used for length and
     duration prediction (reference modeling_calm.py:594-598, 611-615)."""

@@ -88,12 +88,22 @@ def sdpa(
     return out.reshape(B, T, Hq, hd).astype(q.dtype)
 
 
+def _use_pallas_attention(q_shape, k_shape) -> bool:
+    from audio_calm_tpu.ops.pallas_attention import attention_available
+
+    return (
+        jax.default_backend() == "tpu"
+        and attention_available(q_shape, k_shape)
+    )
+
+
 class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
     lora: Optional[LoRAConfig] = None
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask, train: bool = False):
+    def __call__(self, x, cos, sin, mask, train: bool = False,
+                 key_valid: Optional[jnp.ndarray] = None):
         c = self.cfg
         hd = c.head_dim
 
@@ -116,7 +126,12 @@ class Qwen2Attention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        out = sdpa(q, k, v, mask)
+        if key_valid is not None and _use_pallas_attention(q.shape, k.shape):
+            from audio_calm_tpu.ops.pallas_attention import fused_attention
+
+            out = fused_attention(q, k, v, key_valid=key_valid, causal=True)
+        else:
+            out = sdpa(q, k, v, mask)
         out = out.reshape(B, T, c.num_attention_heads * hd)
         return proj("o_proj", c.hidden_size, False)(out, train=train)
 
@@ -147,10 +162,11 @@ class Qwen2Block(nn.Module):
     lora: Optional[LoRAConfig] = None
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask, train: bool = False):
+    def __call__(self, x, cos, sin, mask, train: bool = False,
+                 key_valid=None):
         h = RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x)
         x = x + Qwen2Attention(self.cfg, self.lora, name="self_attn")(
-            h, cos, sin, mask, train=train
+            h, cos, sin, mask, train=train, key_valid=key_valid
         )
         h = RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
         x = x + Qwen2MLP(self.cfg, self.lora, name="mlp")(h, train=train)
@@ -199,7 +215,7 @@ class Qwen2Model(nn.Module):
             )
         for i in range(c.num_hidden_layers):
             x = block(c, self.lora, name=f"layers_{i}")(
-                x, cos, sin, mask, train
+                x, cos, sin, mask, train, attention_mask
             )
         return RMSNorm(c.rms_norm_eps, name="norm")(x)
 

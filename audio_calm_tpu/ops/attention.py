@@ -45,6 +45,27 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, Tk, H, hd)
         v = v.reshape(B, Tk, H, hd)
 
+        # fused Pallas path at inference (dropout inactive) on TPU
+        dropout_active = self.dropout > 0 and train
+        if not dropout_active:
+            import jax as _jax
+
+            from audio_calm_tpu.ops.pallas_attention import (
+                attention_available, fused_attention,
+            )
+
+            if _jax.default_backend() == "tpu" and attention_available(
+                q.shape, k.shape
+            ):
+                key_valid = (
+                    (~key_padding_mask).astype(jnp.int32)
+                    if key_padding_mask is not None
+                    else None
+                )
+                out = fused_attention(q, k, v, key_valid=key_valid)
+                out = out.reshape(B, Tq, E)
+                return nn.Dense(E, name="out_proj")(out)
+
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))

@@ -56,14 +56,14 @@ def ode_solve(
             v2 = head_fn(cond2, x2, t, ctx2, cmask2, xmask2)
             v_cond, v_uncond = v2[:B], v2[B:]
             v = v_uncond + cfg_scale * (v_cond - v_uncond)
-            return x + v * dt, None
+            return (x + v * dt).astype(x.dtype), None
 
     else:
 
         def step(x, i):
             t = jnp.full((B,), i.astype(jnp.float32) / steps)
             v = head_fn(condition, x, t, context, context_mask, x_mask)
-            return x + v * dt, None
+            return (x + v * dt).astype(x.dtype), None
 
     x_final, _ = jax.lax.scan(step, x_init, jnp.arange(steps))
     return x_final

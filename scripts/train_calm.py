@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Train QwenCALM (reference train/train_calm.py equivalent).
+
+  python scripts/train_calm.py --config configs/tts.yaml \
+      [--override training.learning_rate=1e-4 ...] [--cpu]
+
+Loads the Qwen2 backbone from HF weights at model.qwen_path if present
+(otherwise random init — useful for pipeline smoke tests), applies the
+component soft restart, and trains with task-homogeneous batches.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/calm.yaml")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--byte-tokenizer", action="store_true",
+                   help="use the byte fallback tokenizer (smoke tests)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_calm_tpu.config import CALMConfig, load_config
+    from audio_calm_tpu.data.collator import calm_batch_iterator
+    from audio_calm_tpu.data.datasets import CalmDataset
+    from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
+    from audio_calm_tpu.models.convert import (
+        convert_qwen2, load_hf_dir_state_dict, merge_params,
+    )
+    from audio_calm_tpu.parallel.mesh import make_mesh
+    from audio_calm_tpu.train.checkpoint import save_components, soft_restart
+    from audio_calm_tpu.train.loop import run_training
+    from audio_calm_tpu.train.optim import (
+        calm_param_label, make_optimizer, partition_params,
+    )
+    from audio_calm_tpu.train.steps import (
+        init_train_state, make_calm_step, shard_step,
+    )
+
+    cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
+    t, d, m = cfg.training, cfg.data, cfg.model
+
+    # tokenizer
+    if args.byte_tokenizer:
+        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+    else:
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+        except Exception as e:
+            print(f"error: tokenizer load failed ({e}); pass "
+                  "--byte-tokenizer for a tokenizer-less smoke run",
+                  file=sys.stderr)
+            return 1
+
+    asr = d.datasets.get("asr")
+    tts = d.datasets.get("tts")
+    ds = CalmDataset(
+        tokenizer,
+        asr_latent_dir=asr.latent_dir if asr else None,
+        asr_subsets=asr.subsets if asr else None,
+        tts_latent_dir=tts.latent_dir if tts else None,
+        tts_subsets=tts.subsets if tts else None,
+        max_text_len=d.max_text_len,
+        max_audio_len=d.max_audio_len,
+        task_mode=d.task_mode,
+    )
+    n_items = len(ds)
+    if n_items == 0:
+        print("no training data found", file=sys.stderr)
+        return 1
+    print(f"dataset: {len(ds.tts_items)} tts + {len(ds.asr_items)} asr items")
+
+    model = QwenCALM(m, dtype=jnp.bfloat16 if t.bf16 else jnp.float32)
+    params = init_calm_params(model, jax.random.PRNGKey(t.seed))
+
+    # load Qwen2 backbone weights when available
+    if m.qwen_path and os.path.isdir(m.qwen_path):
+        try:
+            sd = load_hf_dir_state_dict(m.qwen_path)
+            conv = convert_qwen2(sd, m.qwen)
+            params["embed"] = merge_params(params["embed"], conv["embed"])
+            params["llm"] = merge_params(params["llm"], conv["model"])
+            print("loaded Qwen2 backbone weights")
+        except Exception as e:
+            print(f"warning: Qwen2 weight load failed: {e}; random init")
+
+    # soft restart (stage-2 warm start)
+    params = soft_restart(params, {
+        "input_proj": m.pretrained_projector_path,
+        "tts_flow_head": m.pretrained_tts_head_path,
+        "tts_len_predictor": m.pretrained_tts_len_pred_path,
+        "asr_flow_head": m.pretrained_asr_head_path,
+        "asr_query_embed": m.pretrained_asr_query_path,
+        "lora": m.pretrained_lora_path,
+    })
+
+    mesh = make_mesh()
+    global_bs = t.per_device_train_batch_size * mesh.shape["data"]
+    steps_per_epoch = max(n_items // global_bs, 1)
+    total_steps = args.max_steps or int(steps_per_epoch * t.num_train_epochs)
+
+    label = lambda k: calm_param_label(
+        k, task_mode=d.task_mode, freeze_projector=m.freeze_projector
+    )
+    trainable, frozen = partition_params(params, label)
+    n_train = sum(v.size for v in trainable.values())
+    n_froz = sum(v.size for v in frozen.values())
+    print(f"trainable: {n_train/1e6:.2f}M | frozen: {n_froz/1e6:.2f}M | "
+          f"steps: {total_steps} | global batch: {global_bs} | "
+          f"mesh: {dict(mesh.shape)}")
+
+    tx = make_optimizer(t, trainable, label, total_steps)
+    state = init_train_state(trainable, tx)
+
+    steps = {}
+    for task in ("tts", "asr"):
+        if d.task_mode in (task, "mix"):
+            fn, state = shard_step(
+                make_calm_step(model, tx, task), mesh, state, frozen
+            )
+            steps[task] = fn
+
+    def step_selector(batch):
+        return steps[batch["task"]]
+
+    def batch_filter(batch):
+        out = {k: jnp.asarray(v) for k, v in batch.items() if k != "task"}
+        if batch["task"] == "tts":
+            out.pop("labels", None)
+        return out
+
+    batches = calm_batch_iterator(
+        ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
+        task_prob_tts=d.task_prob_tts, training=True, seed=t.seed,
+    )
+    state = run_training(
+        None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),
+        frozen=frozen, step_selector=step_selector, batch_filter=batch_filter,
+    )
+
+    # component-sharded export for eval / soft restart
+    from audio_calm_tpu.train.optim import merge_partitions
+
+    final = merge_partitions(state.trainable, frozen)
+    save_components(final, os.path.join(t.output_dir, "components"))
+    print(f"saved components to {t.output_dir}/components")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Train the acoustic VAE (reference train/train_vae.py equivalent).
+
+  python scripts/train_vae.py --config configs/vae.yaml \
+      [--override training.learning_rate=1e-4 ...] [--cpu]
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/vae.yaml")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap steps (overrides epochs)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (8 virtual devices)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+
+    from audio_calm_tpu.config import VAEConfig, load_config
+    from audio_calm_tpu.data.collator import mel_batch_iterator
+    from audio_calm_tpu.data.datasets import MelDataset
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.parallel.mesh import make_mesh
+    from audio_calm_tpu.train.loop import run_training
+    from audio_calm_tpu.train.optim import (
+        make_optimizer, partition_params, vae_param_label,
+    )
+    from audio_calm_tpu.train.steps import (
+        init_train_state, make_vae_step, shard_step,
+    )
+
+    cfg = load_config(args.config, cls=VAEConfig, overrides=args.override)
+    t = cfg.training
+
+    train_ds = MelDataset(cfg.data.data_dir, cfg.data.train_subsets,
+                          cfg.data.crop_size, training=True)
+    if len(train_ds) == 0:
+        print(f"no training data under {cfg.data.data_dir}", file=sys.stderr)
+        return 1
+    print(f"train files: {len(train_ds)}")
+
+    mesh = make_mesh()
+    global_bs = t.per_device_train_batch_size * mesh.shape["data"]
+    steps_per_epoch = max(len(train_ds) // global_bs, 1)
+    total_steps = args.max_steps or int(steps_per_epoch * t.num_train_epochs)
+
+    model = AcousticVAE(cfg.model)
+    params = model.init(
+        {"params": jax.random.PRNGKey(t.seed),
+         "noise": jax.random.PRNGKey(t.seed + 1)},
+        jnp.zeros((1, cfg.data.crop_size, cfg.model.in_channels)),
+        train=False,
+    )["params"]
+    trainable, _ = partition_params(params, vae_param_label)
+    n_params = sum(v.size for v in jax.tree_util.tree_leaves(trainable))
+    print(f"params: {n_params/1e6:.2f}M | total steps: {total_steps} "
+          f"| global batch: {global_bs} | mesh: {dict(mesh.shape)}")
+
+    tx = make_optimizer(cfg.training, trainable, vae_param_label, total_steps)
+    state = init_train_state(trainable, tx)
+    step, state = shard_step(make_vae_step(model, tx), mesh, state)
+
+    eval_fn = None
+    if cfg.data.eval_data_dir:
+        eval_ds = MelDataset(cfg.data.eval_data_dir, cfg.data.eval_subsets,
+                             cfg.data.crop_size, training=False)
+        if len(eval_ds):
+            from audio_calm_tpu.train.optim import merge_partitions
+
+            @jax.jit
+            def eval_loss(trainable, mel):
+                p = merge_partitions(trainable, {})
+                out = model.apply({"params": p}, mel, train=False)
+                return out["loss"]
+
+            eval_bs = min(t.per_device_eval_batch_size, len(eval_ds))
+
+            def eval_fn(state):
+                losses = []
+                for b in mel_batch_iterator(
+                    eval_ds, eval_bs, training=False, epochs=1,
+                ):
+                    losses.append(float(eval_loss(state.trainable,
+                                                  jnp.asarray(b["mel"]))))
+                    if len(losses) >= 16:
+                        break
+                if not losses:
+                    return {}
+                return {"loss": sum(losses) / len(losses)}
+
+    batches = mel_batch_iterator(
+        train_ds, global_bs, training=True, seed=t.seed
+    )
+    run_training(step, state, batches, t, total_steps,
+                 jax.random.PRNGKey(t.seed), eval_fn=eval_fn)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

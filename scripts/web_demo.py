@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Gradio two-tab TTS / ASR demo.
+
+Rebuilt against the real NAR inference pipelines (the reference
+scripts/web_demo.py loads a nonexistent `model.output_head` and stubs both
+task functions — SURVEY.md §7 known bugs). Requires the optional `gradio`
+package.
+
+  python scripts/web_demo.py --config configs/calm.yaml \
+      --components outputs/checkpoints/omni_flow/components
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/calm.yaml")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--components", default=None)
+    p.add_argument("--byte-tokenizer", action="store_true")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    try:
+        import gradio as gr
+    except ImportError:
+        print("gradio is not installed; the web demo is optional. "
+              "Use scripts/eval_calm.py for batch inference.", file=sys.stderr)
+        return 1
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_calm_tpu.config import CALMConfig, MelConfig, load_config
+    from audio_calm_tpu.eval.infer import CALMInference
+    from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
+    from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, pad_to_stride
+    from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+    from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
+    from audio_calm_tpu.config import VAEModelConfig
+    from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
+
+    cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
+    m = cfg.model
+    if args.byte_tokenizer:
+        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+    else:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+
+    model = QwenCALM(m, dtype=jnp.float32)
+    params = init_calm_params(model, jax.random.PRNGKey(0))
+    if args.components:
+        params = soft_restart(
+            params, {c: args.components for c in COMPONENTS + ("lora",)}
+        )
+    inf = CALMInference(model, {"params": params}, tokenizer)
+
+    vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
+    vae = AcousticVAE(vae_cfg)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    frontend = MelFrontend(MelConfig())
+    vocoder = GriffinLimVocoder()
+    rng_holder = [jax.random.PRNGKey(0)]
+
+    def tts_fn(text, steps, cfg_scale):
+        rng_holder[0], k = jax.random.split(rng_holder[0])
+        latents, n = inf.tts(text, k, steps=int(steps), cfg_scale=float(cfg_scale))
+        mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
+                          method=AcousticVAE.decode)
+        wav = np.asarray(vocoder(denormalize_mel(mel_n, vae_cfg)))[0]
+        return 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+
+    def asr_fn(audio, steps):
+        sr, wav = audio
+        wav = jnp.asarray(np.asarray(wav, np.float32) / 32768.0)
+        wav = process_audio_chunk(wav.T if wav.ndim == 2 else wav)
+        mel = pad_to_stride(frontend(wav[None]), vae_cfg.total_stride)
+        mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
+        rng_holder[0], k = jax.random.split(rng_holder[0])
+        return inf.asr(np.asarray(mu[0]), k, steps=int(steps))
+
+    with gr.Blocks(title="Audio-CALM TPU") as demo:
+        gr.Markdown("# Audio-CALM (TPU) — NAR flow-matching TTS / ASR")
+        with gr.Tab("TTS"):
+            t_in = gr.Textbox(label="Text")
+            t_steps = gr.Slider(4, 100, value=50, step=1, label="ODE steps")
+            t_cfg = gr.Slider(1.0, 5.0, value=2.5, label="CFG scale")
+            t_btn = gr.Button("Synthesize")
+            t_out = gr.Audio(label="Audio")
+            t_btn.click(tts_fn, [t_in, t_steps, t_cfg], t_out)
+        with gr.Tab("ASR"):
+            a_in = gr.Audio(label="Audio", sources=["upload", "microphone"])
+            a_steps = gr.Slider(4, 50, value=20, step=1, label="ODE steps")
+            a_btn = gr.Button("Transcribe")
+            a_out = gr.Textbox(label="Transcript")
+            a_btn.click(asr_fn, [a_in, a_steps], a_out)
+    demo.launch(server_port=args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
