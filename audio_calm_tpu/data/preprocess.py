@@ -35,9 +35,22 @@ AUDIO_EXTS = (".wav", ".flac", ".mp3")
 # ---------------------------------------------------------------------------
 # Audio IO
 # ---------------------------------------------------------------------------
+try:
+    import audio_calm_native as _native
+except ImportError:  # pure-Python fallback below
+    _native = None
+
+
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
-    """-> (mono float32 [T], sample_rate)."""
+    """-> (mono float32 [T], sample_rate). Peak-normalization is separate."""
     if path.endswith(".wav"):
+        if _native is not None:
+            with open(path, "rb") as f:
+                # peak_target <= 0 disables in-decoder normalization
+                # (peak_normalize applies the 0.95 target after resampling,
+                # matching the reference order)
+                raw, sr, n = _native.decode_wav(f.read(), -1.0)
+            return np.frombuffer(raw, np.float32).copy(), sr
         with wave.open(path, "rb") as w:
             sr = w.getframerate()
             n = w.getnframes()

@@ -10,6 +10,11 @@ from __future__ import annotations
 import re
 from typing import List, Sequence
 
+try:
+    import audio_calm_native as _native
+except ImportError:
+    _native = None
+
 
 def normalize_text(text: str) -> str:
     text = text.lower()
@@ -18,12 +23,22 @@ def normalize_text(text: str) -> str:
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> int:
-    """Levenshtein distance with O(min(len)) memory."""
+    """Levenshtein distance with O(min(len)) memory.
+
+    Uses the C extension over int32 buffers when available (symbols are
+    interned to ids first); falls back to pure Python."""
     n, m = len(ref), len(hyp)
     if n == 0:
         return m
     if m == 0:
         return n
+    if _native is not None:
+        import array
+
+        ids = {}
+        a = array.array("i", (ids.setdefault(s, len(ids)) for s in ref))
+        b = array.array("i", (ids.setdefault(s, len(ids)) for s in hyp))
+        return _native.edit_distance_i32(a.tobytes(), b.tobytes())
     prev = list(range(m + 1))
     for i in range(1, n + 1):
         cur = [i] + [0] * m

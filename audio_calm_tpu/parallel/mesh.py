@@ -44,6 +44,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero_leaf_spec(mesh: Mesh, leaf, min_size: int = 2**14) -> NamedSharding:
+    """ZeRO sharding for one optimizer-state leaf: shard the largest
+    data-axis-divisible dim; replicate scalars / small / odd shapes."""
+    n = mesh.shape["data"]
+    if not hasattr(leaf, "shape") or leaf.ndim == 0 or leaf.size < min_size:
+        return NamedSharding(mesh, P())
+    dims = list(leaf.shape)
+    best = int(np.argmax(dims))
+    if dims[best] % n == 0:
+        pspec = [None] * leaf.ndim
+        pspec[best] = "data"
+        return NamedSharding(mesh, P(*pspec))
+    return NamedSharding(mesh, P())
+
+
 def zero_sharding(mesh: Mesh, pytree, min_size: int = 2**14):
     """ZeRO-style sharding spec for an optimizer-state pytree.
 
@@ -54,17 +69,6 @@ def zero_sharding(mesh: Mesh, pytree, min_size: int = 2**14):
     DeepSpeed ZeRO-2 semantics from sharding annotations alone
     (SURVEY.md §2.6).
     """
-    n = mesh.shape["data"]
-
-    def spec(leaf):
-        if not hasattr(leaf, "shape") or leaf.ndim == 0 or leaf.size < min_size:
-            return NamedSharding(mesh, P())
-        dims = list(leaf.shape)
-        best = int(np.argmax(dims))
-        if dims[best] % n == 0:
-            pspec = [None] * leaf.ndim
-            pspec[best] = "data"
-            return NamedSharding(mesh, P(*pspec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map(spec, pytree)
+    return jax.tree_util.tree_map(
+        lambda leaf: zero_leaf_spec(mesh, leaf, min_size), pytree
+    )

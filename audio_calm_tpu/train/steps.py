@@ -24,8 +24,9 @@ from audio_calm_tpu.models.vae import AcousticVAE
 from audio_calm_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
-    zero_sharding,
+    zero_leaf_spec,
 )
+from audio_calm_tpu.parallel.tp import tp_shardings
 from audio_calm_tpu.train.optim import merge_partitions
 
 
@@ -155,25 +156,43 @@ def shard_step(
     state: TrainState,
     frozen: Optional[Dict] = None,
 ):
-    """jit a step with DP batch sharding + ZeRO opt-state sharding.
+    """jit a step with DP batch + TP param + ZeRO opt-state sharding.
 
-    Returns (jitted_step, sharded_state) — the state is placed according to
-    the computed shardings before training starts.
+    Returns (jitted_step, sharded_state, sharded_frozen) — state and frozen
+    params are placed according to the computed shardings up front so later
+    step calls never re-transfer them.
     """
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=0), state
+        return jax.jit(step_fn, donate_argnums=0), state, frozen
+
+    from jax.sharding import PartitionSpec as P
 
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
+    # params: tensor-parallel over the "model" axis (replicated when the
+    # mesh has no model axis); optimizer moments follow their param's TP
+    # sharding, everything else is ZeRO-sharded over "data"
+    train_sh = tp_shardings(state.trainable, mesh)
+
+    def opt_spec(path, leaf):
+        for entry in path:
+            k = getattr(entry, "key", None)
+            if isinstance(k, tuple) and k in train_sh:
+                if train_sh[k].spec != P():
+                    return train_sh[k]
+                break
+        return zero_leaf_spec(mesh, leaf)
+
     state_sh = TrainState(
         step=repl,
-        trainable=jax.tree_util.tree_map(lambda _: repl, state.trainable),
-        opt_state=zero_sharding(mesh, state.opt_state),
+        trainable=train_sh,
+        opt_state=jax.tree_util.tree_map_with_path(opt_spec, state.opt_state),
     )
     state = jax.device_put(state, state_sh)
 
     if frozen is not None:
-        frozen_sh = jax.tree_util.tree_map(lambda _: repl, frozen)
+        frozen_sh = tp_shardings(frozen, mesh)
+        frozen = jax.device_put(frozen, frozen_sh)
 
         jitted = jax.jit(
             step_fn,
@@ -191,4 +210,4 @@ def shard_step(
             out_shardings=(state_sh, None),
             donate_argnums=(0,),
         )
-    return jitted, state
+    return jitted, state, frozen

@@ -132,7 +132,7 @@ def main(argv=None):
     steps = {}
     for task in ("tts", "asr"):
         if d.task_mode in (task, "mix"):
-            fn, state = shard_step(
+            fn, state, frozen = shard_step(
                 make_calm_step(model, tx, task), mesh, state, frozen
             )
             steps[task] = fn

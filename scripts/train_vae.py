@@ -69,7 +69,7 @@ def main(argv=None):
 
     tx = make_optimizer(cfg.training, trainable, vae_param_label, total_steps)
     state = init_train_state(trainable, tx)
-    step, state = shard_step(make_vae_step(model, tx), mesh, state)
+    step, state, _ = shard_step(make_vae_step(model, tx), mesh, state)
 
     eval_fn = None
     if cfg.data.eval_data_dir:

@@ -57,7 +57,7 @@ def test_vae_training_loss_decreases():
     state = init_train_state(trainable, tx)
 
     mesh = make_mesh()
-    step, state = shard_step(make_vae_step(model, tx), mesh, state)
+    step, state, _ = shard_step(make_vae_step(model, tx), mesh, state)
     batch = {"mel": mel}
     rng = jax.random.PRNGKey(42)
     first = None
@@ -131,7 +131,7 @@ def test_calm_tts_step_updates_only_trainable(calm_setup):
     tx = make_optimizer(tcfg, trainable, label, total_steps=50)
     state = init_train_state(trainable, tx)
     mesh = make_mesh()
-    step, state = shard_step(make_calm_step(model, tx, "tts"), mesh, state, frozen)
+    step, state, frozen = shard_step(make_calm_step(model, tx, "tts"), mesh, state, frozen)
 
     tts_batch = {k: v for k, v in batch.items() if k != "labels"}
     before = jax.tree_util.tree_map(lambda x: np.asarray(x), state.trainable)
@@ -161,7 +161,7 @@ def test_calm_asr_step_runs(calm_setup):
     tx = make_optimizer(tcfg, trainable, label, total_steps=50)
     state = init_train_state(trainable, tx)
     mesh = make_mesh()
-    step, state = shard_step(make_calm_step(model, tx, "asr"), mesh, state, frozen)
+    step, state, frozen = shard_step(make_calm_step(model, tx, "asr"), mesh, state, frozen)
     s1, m1 = step(state, frozen, batch, jax.random.PRNGKey(0))
     s2, m2 = step(s1, frozen, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
