@@ -145,3 +145,125 @@ def conv_transpose1d_w(w: np.ndarray) -> np.ndarray:
     """torch ConvTranspose1d weight [in, out, k] -> our [k, in, out]
     (our module flips the spatial axis at call time)."""
     return np.ascontiguousarray(np.transpose(w, (2, 0, 1))).astype(np.float32)
+
+
+def _lin(sd, name):
+    """torch Linear -> flax Dense params."""
+    return {
+        "kernel": np.asarray(sd[name + ".weight"]).T.astype(np.float32),
+        "bias": np.asarray(sd[name + ".bias"]).astype(np.float32),
+    }
+
+
+def _conv(sd, name):
+    return {"conv": {
+        "kernel": conv1d_w(np.asarray(sd[name + ".weight"])),
+        "bias": np.asarray(sd[name + ".bias"]).astype(np.float32),
+    }}
+
+
+def _gn(sd, name):
+    return {"gn": {
+        "scale": np.asarray(sd[name + ".weight"]).astype(np.float32),
+        "bias": np.asarray(sd[name + ".bias"]).astype(np.float32),
+    }}
+
+
+def _ln(sd, name):
+    return {
+        "scale": np.asarray(sd[name + ".weight"]).astype(np.float32),
+        "bias": np.asarray(sd[name + ".bias"]).astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reference component .bins -> flax component subtrees
+# ---------------------------------------------------------------------------
+def convert_flow_head(sd: Dict[str, np.ndarray], num_layers: int,
+                      has_context: bool) -> Dict[str, Any]:
+    """reference TransformerFlowHead state dict (tts_flow_head.bin /
+    asr_flow_head.bin, modeling_calm.py:174-309) -> our flax tree."""
+    out: Dict[str, Any] = {
+        "time_mlp": {"fc1": _lin(sd, "time_mlp.1"),
+                     "fc2": _lin(sd, "time_mlp.3")},
+        "in_proj": _lin(sd, "in_proj"),
+        "out_proj": _lin(sd, "out_proj"),
+        "final_adaLN": {"emb": _lin(sd, "final_adaLN.emb.1")},
+    }
+    if has_context and "context_proj.weight" in sd:
+        out["context_proj"] = _lin(sd, "context_proj")
+    for i in range(num_layers):
+        p = f"blocks.{i}."
+        blk: Dict[str, Any] = {
+            "adaLN1": {"emb": _lin(sd, p + "adaLN1.emb.1")},
+            "adaLN2": {"emb": _lin(sd, p + "adaLN2.emb.1")},
+            "attn": convert_torch_mha(sd, p + "attn."),
+            "mlp_fc1": _lin(sd, p + "mlp.0"),
+            "mlp_fc2": _lin(sd, p + "mlp.2"),
+        }
+        if (p + "ctx_attn.in_proj_weight") in sd:
+            blk["adaLN_ctx"] = {"emb": _lin(sd, p + "adaLN_ctx.emb.1")}
+            blk["ctx_attn"] = convert_torch_mha(sd, p + "ctx_attn.")
+            blk["ctx_gate"] = np.asarray(sd[p + "ctx_gate"]).astype(np.float32)
+        out[f"blocks_{i}"] = blk
+    return out
+
+
+def convert_input_projector(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference AudioInputProjector (input_proj.bin,
+    modeling_calm.py:33-95) -> our flax tree."""
+    out: Dict[str, Any] = {
+        "conv1": _conv(sd, "conv_block.0.conv"),
+        "conv2": _conv(sd, "conv_block.2.conv"),
+        "post_norm": _ln(sd, "post_norm"),
+    }
+    for i in range(2):
+        out[f"block{i}_ln"] = _ln(sd, f"blocks.{i}.0")
+        out[f"block{i}_fc1"] = _lin(sd, f"blocks.{i}.1")
+        out[f"block{i}_fc2"] = _lin(sd, f"blocks.{i}.3")
+    return out
+
+
+def convert_predictor(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference len/dur predictor MLP (Sequential Linear-GELU-Linear)."""
+    return {"fc1": _lin(sd, "0"), "fc2": _lin(sd, "2")}
+
+
+def convert_vae_params(
+    sd: Dict[str, np.ndarray], strides=(2, 2)
+) -> Dict[str, Any]:
+    """reference AcousticVAE state dict -> our flax tree
+    (layer indices per modeling_vae.py:163-230)."""
+
+    def res(prefix):
+        return {
+            "norm1": _gn(sd, prefix + ".conv.0"),
+            "conv1": _conv(sd, prefix + ".conv.2"),
+            "norm2": _gn(sd, prefix + ".conv.3"),
+            "conv2": _conv(sd, prefix + ".conv.5"),
+        }
+
+    n = len(strides)
+    enc: Dict[str, Any] = {"conv_in": _conv(sd, "encoder.0")}
+    for i in range(n):
+        enc[f"down{i}_conv"] = _conv(sd, f"encoder.{i + 1}.0")
+        enc[f"down{i}_res"] = res(f"encoder.{i + 1}.1")
+    enc["norm_out"] = _gn(sd, f"encoder.{n + 1}")
+    enc["conv_out"] = _conv(sd, f"encoder.{n + 3}")
+
+    dec: Dict[str, Any] = {
+        "conv_in": _conv(sd, "decoder_net.0.0"),
+        "res_in": res("decoder_net.0.1"),
+        "conv_out": _conv(sd, "final_proj"),
+    }
+    for i in range(n):
+        dec[f"up{i}_conv"] = {
+            "kernel": conv_transpose1d_w(
+                np.asarray(sd[f"decoder_net.{i + 1}.0.weight"])
+            ),
+            "bias": np.asarray(sd[f"decoder_net.{i + 1}.0.bias"]).astype(
+                np.float32
+            ),
+        }
+        dec[f"up{i}_res"] = res(f"decoder_net.{i + 1}.1")
+    return {"encoder": enc, "decoder": dec}

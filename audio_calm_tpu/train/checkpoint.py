@@ -132,14 +132,50 @@ def load_component(directory: str, component: str, target) -> Any:
     )
 
 
+def load_torch_component(path: str, component: str, model_cfg=None) -> Any:
+    """Convert a reference torch component .bin into our flax subtree
+    (reference save layout: modeling_calm.py:911-936)."""
+    from audio_calm_tpu.models import convert as C
+
+    sd = C.load_torch_state_dict(path)
+    if component in ("tts_flow_head", "asr_flow_head"):
+        num_layers = 0
+        while any(k.startswith(f"blocks.{num_layers}.") for k in sd):
+            num_layers += 1
+        has_ctx = "context_proj.weight" in sd
+        return C.convert_flow_head(sd, num_layers, has_ctx)
+    if component == "input_proj":
+        return C.convert_input_projector(sd)
+    if component in ("tts_len_predictor", "tts_dur_predictor"):
+        return C.convert_predictor(sd)
+    if component == "asr_cross_attn":
+        return C.convert_torch_mha(sd)
+    if component == "asr_query_embed":
+        return {"embedding": np.asarray(sd["weight"]).astype(np.float32)}
+    if component == "soa_embed":
+        return np.asarray(sd["weight"]).astype(np.float32).reshape(1, 1, -1)
+    if component == "vae":
+        return C.convert_vae_params(sd)
+    raise ValueError(f"unknown torch component {component}")
+
+
 def soft_restart(params: Dict, paths: Dict[str, Optional[str]]) -> Dict:
     """Overlay pretrained components onto params (stage-2 warm start).
 
-    paths: {component: directory or None}. Returns updated params dict.
+    paths: {component: path or None}. A path may be an orbax components
+    directory (ours) or a reference torch `.bin` file (converted on load).
+    Returns updated params dict.
     """
+    from audio_calm_tpu.models.convert import merge_params
+
     params = dict(params)
     for comp, path in paths.items():
         if not path:
+            continue
+        if os.path.isfile(path) and path.endswith((".bin", ".pt", ".safetensors")):
+            params[comp] = merge_params(
+                params[comp], load_torch_component(path, comp)
+            )
             continue
         if comp == "lora":
             flat = flatten_dict(params)

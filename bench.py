@@ -94,16 +94,22 @@ def main():
         return wav
 
     rng = jax.random.PRNGKey(0)
-    # warmup / compile
-    wav = pipeline(calm_params, vae_params, voc_params, rng, steps, cfg_scale)
-    wav.block_until_ready()
+    # warmup / compile. NOTE: through the axon tunnel block_until_ready does
+    # NOT reliably wait for execution — a device->host readback of the
+    # result is the only trustworthy completion barrier, so every timed
+    # iteration ends with np.asarray(wav).
+    np.asarray(pipeline(calm_params, vae_params, voc_params, rng, steps,
+                        cfg_scale))
+    np.asarray(pipeline(calm_params, vae_params, voc_params,
+                        jax.random.fold_in(rng, 99), steps, cfg_scale))
 
-    n_iters = 3
+    n_iters = 5
     t0 = time.perf_counter()
     for i in range(n_iters):
-        wav = pipeline(calm_params, vae_params, voc_params,
-                       jax.random.fold_in(rng, i), steps, cfg_scale)
-    wav.block_until_ready()
+        wav = np.asarray(
+            pipeline(calm_params, vae_params, voc_params,
+                     jax.random.fold_in(rng, i), steps, cfg_scale)
+        )
     wall = (time.perf_counter() - t0) / n_iters
 
     audio_seconds = batch * t_aud * stride * hop / sample_rate

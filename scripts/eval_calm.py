@@ -130,11 +130,26 @@ def main(argv=None):
             )
         vocoder = GriffinLimVocoder()
 
+        # optional round-trip ASR judge (reference eval_calm.py:548-552 uses
+        # whisper-tiny.en via HF pipeline); gated on weight availability
+        judge = None
+        if e.eval_asr_model:
+            try:
+                from transformers import pipeline as hf_pipeline
+
+                judge = hf_pipeline(
+                    "automatic-speech-recognition", model=e.eval_asr_model
+                )
+            except Exception as ex:
+                print(f"warning: ASR judge unavailable ({ex}); skipping "
+                      "round-trip WER")
+
         data = scan_corpus(
             e.datasets["tts"].latent_dir, e.datasets["tts"].subsets, "tts"
         )[: e.max_samples]
         wav_dir = os.path.join(e.output_dir, "tts_wavs")
         os.makedirs(wav_dir, exist_ok=True)
+        rt_refs, rt_preds = [], []
         for i, item in enumerate(data):
             latents, n = inf.tts(item["text"], jax.random.fold_in(rng, 1000 + i),
                                  steps=e.steps, cfg_scale=e.cfg_scale)
@@ -143,7 +158,14 @@ def main(argv=None):
             mel = denormalize_mel(mel_n, vae_cfg)
             wav = np.asarray(vocoder(mel))[0]
             _write_wav(os.path.join(wav_dir, f"tts_{i:04d}.wav"), wav)
+            if judge is not None:
+                hyp = judge({"array": wav, "sampling_rate": 16000})["text"]
+                rt_refs.append(normalize_text(item["text"]) or "<empty>")
+                rt_preds.append(normalize_text(hyp))
         print(f"wrote {len(data)} wavs to {wav_dir}")
+        if rt_refs:
+            print(f"TTS round-trip WER: {wer(rt_refs, rt_preds):.2%}  "
+                  f"CER: {cer(rt_refs, rt_preds):.2%}")
     return 0
 
 
