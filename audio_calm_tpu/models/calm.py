@@ -75,7 +75,9 @@ class QwenCALM(nn.Module):
         self.soa_embed = self.param(
             "soa_embed", nn.initializers.normal(0.02), (1, 1, qdim)
         )
-        self.asr_cross_attn = MultiheadAttention(qdim, 16, dropout=0.1)
+        self.asr_cross_attn = MultiheadAttention(
+            qdim, 16, dropout=0.1, dtype=self.dtype
+        )
         self.asr_query_embed = nn.Embed(c.max_text_len, qdim)
         self.tts_flow_head = TransformerFlowHead(
             input_dim=qdim,
@@ -84,6 +86,7 @@ class QwenCALM(nn.Module):
             num_layers=c.tts_flow_num_layers,
             num_heads=c.flow_num_heads,
             context_dim=qdim,
+            dtype=self.dtype,
         )
         self.asr_flow_head = TransformerFlowHead(
             input_dim=qdim,
@@ -92,6 +95,7 @@ class QwenCALM(nn.Module):
             num_layers=c.asr_flow_num_layers,
             num_heads=c.flow_num_heads,
             context_dim=None,
+            dtype=self.dtype,
         )
         self.tts_len_predictor = PredictorMLP(qdim // 2)
         self.tts_dur_predictor = PredictorMLP(qdim // 2)

@@ -111,13 +111,14 @@ class TimeMLP(nn.Module):
     """SinusoidalPosEmb -> Linear -> SiLU -> Linear (time_dim=256)."""
 
     time_dim: int = 256
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, t):  # [B] in [0,1]
         e = timestep_embedding(t, self.time_dim)
-        e = nn.Dense(self.time_dim, name="fc1")(e)
+        e = nn.Dense(self.time_dim, dtype=self.dtype, name="fc1")(e)
         e = jax.nn.silu(e)
-        return nn.Dense(self.time_dim, name="fc2")(e)
+        return nn.Dense(self.time_dim, dtype=self.dtype, name="fc2")(e)
 
 
 class AdaLN(nn.Module):
@@ -125,13 +126,15 @@ class AdaLN(nn.Module):
 
     dim: int
     time_dim: int = 256
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, t_emb):
         h = jax.nn.silu(t_emb)
-        ss = nn.Dense(self.dim * 2, name="emb")(h)  # [B, 2*dim]
+        ss = nn.Dense(self.dim * 2, dtype=self.dtype, name="emb")(h)  # [B, 2*dim]
         scale, shift = jnp.split(ss, 2, axis=-1)
-        x = nn.LayerNorm(epsilon=1e-6, use_scale=False, use_bias=False, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, use_scale=False, use_bias=False,
+                         dtype=self.dtype, name="norm")(x)
         return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
@@ -141,6 +144,7 @@ class DiTBlock(nn.Module):
     time_dim: int = 256
     mlp_ratio: float = 4.0
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -152,24 +156,28 @@ class DiTBlock(nn.Module):
         x_mask: Optional[jnp.ndarray] = None,  # True = PAD
         train: bool = False,
     ):
-        h = AdaLN(self.dim, self.time_dim, name="adaLN1")(x, t_emb)
-        attn = MultiheadAttention(self.dim, self.num_heads, self.dropout, name="attn")
+        h = AdaLN(self.dim, self.time_dim, dtype=self.dtype, name="adaLN1")(x, t_emb)
+        attn = MultiheadAttention(self.dim, self.num_heads, self.dropout,
+                                  dtype=self.dtype, name="attn")
         x = x + attn(h, h, h, key_padding_mask=x_mask, train=train)
 
         if context is not None:
-            h = AdaLN(self.dim, self.time_dim, name="adaLN_ctx")(x, t_emb)
+            h = AdaLN(self.dim, self.time_dim, dtype=self.dtype,
+                      name="adaLN_ctx")(x, t_emb)
             ctx_attn = MultiheadAttention(
-                self.dim, self.num_heads, self.dropout, name="ctx_attn"
+                self.dim, self.num_heads, self.dropout, dtype=self.dtype,
+                name="ctx_attn"
             )
             out = ctx_attn(h, context, context,
                            key_padding_mask=context_mask, train=train)
             gate = self.param("ctx_gate", nn.initializers.zeros, (1,))
             x = x + jax.nn.sigmoid(gate.astype(x.dtype)) * out
 
-        h = AdaLN(self.dim, self.time_dim, name="adaLN2")(x, t_emb)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = AdaLN(self.dim, self.time_dim, dtype=self.dtype, name="adaLN2")(x, t_emb)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
         h = gelu(h)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 
 
@@ -191,6 +199,7 @@ class TransformerFlowHead(nn.Module):
     time_dim: int = 256
     max_seq_len: int = 2048
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -204,10 +213,10 @@ class TransformerFlowHead(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         T = noisy_x.shape[1]
-        t_emb = TimeMLP(self.time_dim, name="time_mlp")(t)
+        t_emb = TimeMLP(self.time_dim, dtype=self.dtype, name="time_mlp")(t)
 
         x = jnp.concatenate([condition, noisy_x], axis=-1)
-        x = nn.Dense(self.hidden_dim, name="in_proj")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(x)
         pos = jnp.asarray(
             sinusoidal_position_table(self.max_seq_len, self.hidden_dim)
         )
@@ -215,15 +224,17 @@ class TransformerFlowHead(nn.Module):
 
         proj_context = None
         if context is not None and self.context_dim is not None:
-            proj_context = nn.Dense(self.hidden_dim, name="context_proj")(context)
+            proj_context = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                    name="context_proj")(context)
 
         for i in range(self.num_layers):
             x = DiTBlock(
                 self.hidden_dim, self.num_heads, self.time_dim,
-                dropout=self.dropout, name=f"blocks_{i}",
+                dropout=self.dropout, dtype=self.dtype, name=f"blocks_{i}",
             )(x, t_emb, proj_context, context_mask, x_mask, train)
 
-        x = AdaLN(self.hidden_dim, self.time_dim, name="final_adaLN")(x, t_emb)
+        x = AdaLN(self.hidden_dim, self.time_dim, dtype=self.dtype,
+                  name="final_adaLN")(x, t_emb)
         out = nn.Dense(
             self.output_dim,
             kernel_init=nn.initializers.zeros,

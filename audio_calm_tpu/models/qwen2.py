@@ -89,8 +89,16 @@ def sdpa(
 
 
 def _use_pallas_attention(q_shape, k_shape) -> bool:
+    """Measured on v5e (CLAUDE.md): at this framework's geometries
+    (T <= ~500, d <= 128) XLA's fused attention outruns the per-head Pallas
+    kernel (93 vs 125 ms for the flagship ODE), so XLA is the default and
+    Pallas is opt-in via AUDIO_CALM_ATTN=pallas for larger regimes."""
+    import os
+
     from audio_calm_tpu.ops.pallas_attention import attention_available
 
+    if os.environ.get("AUDIO_CALM_ATTN", "xla") != "pallas":
+        return False
     return (
         jax.default_backend() == "tpu"
         and attention_available(q_shape, k_shape)

@@ -23,6 +23,7 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(
@@ -35,9 +36,9 @@ class MultiheadAttention(nn.Module):
     ) -> jnp.ndarray:
         E, H = self.embed_dim, self.num_heads
         hd = E // H
-        q = nn.Dense(E, name="q_proj")(query)
-        k = nn.Dense(E, name="k_proj")(key)
-        v = nn.Dense(E, name="v_proj")(value)
+        q = nn.Dense(E, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(E, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(E, dtype=self.dtype, name="v_proj")(value)
 
         B, Tq, _ = q.shape
         Tk = k.shape[1]
@@ -48,14 +49,20 @@ class MultiheadAttention(nn.Module):
         # fused Pallas path at inference (dropout inactive) on TPU
         dropout_active = self.dropout > 0 and train
         if not dropout_active:
+            import os as _os
+
             import jax as _jax
 
             from audio_calm_tpu.ops.pallas_attention import (
                 attention_available, fused_attention,
             )
 
-            if _jax.default_backend() == "tpu" and attention_available(
-                q.shape, k.shape
+            # XLA default per measurement; AUDIO_CALM_ATTN=pallas opts in
+            # (see models/qwen2._use_pallas_attention)
+            if (
+                _os.environ.get("AUDIO_CALM_ATTN", "xla") == "pallas"
+                and _jax.default_backend() == "tpu"
+                and attention_available(q.shape, k.shape)
             ):
                 key_valid = (
                     (~key_padding_mask).astype(jnp.int32)
@@ -64,7 +71,7 @@ class MultiheadAttention(nn.Module):
                 )
                 out = fused_attention(q, k, v, key_valid=key_valid)
                 out = out.reshape(B, Tq, E)
-                return nn.Dense(E, name="out_proj")(out)
+                return nn.Dense(E, dtype=self.dtype, name="out_proj")(out)
 
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -80,4 +87,4 @@ class MultiheadAttention(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(query.dtype)
         out = out.reshape(B, Tq, E)
-        return nn.Dense(E, name="out_proj")(out)
+        return nn.Dense(E, dtype=self.dtype, name="out_proj")(out)

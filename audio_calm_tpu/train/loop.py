@@ -71,6 +71,31 @@ def run_training(
         cfg.output_dir, cfg.save_total_limit,
         best_metric=None,
     )
+
+    # resume (reference trainer.train(resume_from_checkpoint=...),
+    # train_calm.py:627-630): restore trainable + optimizer state and
+    # continue from the recorded step
+    if cfg.resume_from_checkpoint:
+        from audio_calm_tpu.train.checkpoint import restore_train_state
+
+        resume_mgr = (
+            manager
+            if os.path.abspath(cfg.resume_from_checkpoint)
+            == os.path.abspath(cfg.output_dir)
+            else make_manager(cfg.resume_from_checkpoint, cfg.save_total_limit,
+                              best_metric=None)
+        )
+        if resume_mgr.latest_step() is not None:
+            trainable, opt_state, step0 = restore_train_state(
+                resume_mgr, state.trainable, state.opt_state
+            )
+            # the first jitted step re-places these per its in_shardings
+            state = TrainState(
+                step=jax.numpy.asarray(step0, jax.numpy.int32),
+                trainable=trainable,
+                opt_state=opt_state,
+            )
+            print(f"resumed from step {step0}")
     meters: Dict[str, float] = {}
     counts: Dict[str, int] = {}
     t_last = time.perf_counter()
