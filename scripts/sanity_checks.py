@@ -20,6 +20,11 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--components", default=None)
     p.add_argument("--latent-audit", default=None)
+    p.add_argument("--vae-upper-bound", default=None,
+                   help="latent dir: decode stored GT latents -> wav "
+                        "(invariant 1, run_sanity_checks.py:17-63)")
+    p.add_argument("--vae-ckpt", default=None, help="orbax VAE params dir")
+    p.add_argument("--out-dir", default="outputs/sanity")
     p.add_argument("--max-batches", type=int, default=4)
     p.add_argument("--byte-tokenizer", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -55,6 +60,75 @@ def main(argv=None):
         if audit.advice:
             print(f"  advice: {audit.advice}")
         ok &= audit.verdict != "FAIL"
+
+    if args.vae_upper_bound:
+        # invariant 1: decode ground-truth latents to audio; if this sounds
+        # bad, nothing downstream can work
+        import wave as wavelib
+
+        from audio_calm_tpu.config import VAEModelConfig
+        from audio_calm_tpu.data.datasets import load_array
+        from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
+        from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+
+        files_probe = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(args.vae_upper_bound)
+            for f in fs
+            if f.endswith((".npz", ".npy", ".pt"))
+        ]
+        if not files_probe:
+            print("[vae upper bound] no latents found")
+            return 1
+        from audio_calm_tpu.data.datasets import load_array as _la
+
+        lat_dim = _la(files_probe[0]).shape[1]
+        vae_cfg = VAEModelConfig(latent_channels=lat_dim)
+        vae = AcousticVAE(vae_cfg)
+        if args.vae_ckpt:
+            import orbax.checkpoint as ocp
+
+            target = jax.eval_shape(
+                lambda: vae.init(
+                    {"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)},
+                    jnp.zeros((1, 8, 80)), train=False,
+                )
+            )
+            vparams = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.vae_ckpt), target=target
+            )
+        else:
+            print("[vae upper bound] WARNING: random-init VAE")
+            vparams = vae.init(
+                {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                jnp.zeros((1, 8, 80)), train=False,
+            )
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(args.vae_upper_bound)
+            for f in fs
+            if f.endswith((".npz", ".npy", ".pt"))
+        ][:10]
+        voc = GriffinLimVocoder()
+        os.makedirs(args.out_dir, exist_ok=True)
+        for i, fp in enumerate(files):
+            lat = load_array(fp)[None]
+            mel = denormalize_mel(
+                vae.apply(vparams, jnp.asarray(lat), method=AcousticVAE.decode),
+                vae_cfg,
+            )
+            wav = np.asarray(voc(mel))[0]
+            x16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+            with wavelib.open(
+                os.path.join(args.out_dir, f"upper_bound_{i}.wav"), "wb"
+            ) as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(x16.tobytes())
+        print(f"[vae upper bound] decoded {len(files)} latents -> "
+              f"{args.out_dir} (listen to judge the ceiling)")
 
     from audio_calm_tpu.config import CALMConfig, load_config
     from audio_calm_tpu.data.collator import calm_batch_iterator

@@ -146,6 +146,50 @@ def main(argv=None):
             out.pop("labels", None)
         return out
 
+    # periodic eval over the held-out latent store (reference eval_steps)
+    eval_fn = None
+    eval_dirs = {
+        task: dd.eval_latent_dir
+        for task, dd in d.datasets.items()
+        if dd and dd.eval_latent_dir
+    }
+    if eval_dirs:
+        from audio_calm_tpu.train.steps import make_calm_eval_step
+
+        eval_ds = CalmDataset(
+            tokenizer,
+            asr_latent_dir=eval_dirs.get("asr"),
+            asr_subsets=d.eval_subsets,
+            tts_latent_dir=eval_dirs.get("tts"),
+            tts_subsets=d.eval_subsets,
+            max_text_len=d.max_text_len,
+            max_audio_len=d.max_audio_len,
+            task_mode=d.task_mode,
+        )
+        if len(eval_ds):
+            eval_steps = {
+                task: jax.jit(make_calm_eval_step(model, task))
+                for task in steps
+            }
+
+            def eval_fn(state):
+                losses = []
+                it = calm_batch_iterator(
+                    eval_ds, min(global_bs, 8), tokenizer.pad_token_id or 0,
+                    m.latent_dim, task_prob_tts=d.task_prob_tts,
+                    training=False, seed=0, epochs=1,
+                )
+                for i, b in enumerate(it):
+                    if i >= 8:
+                        break
+                    task = b["task"]
+                    fb = batch_filter(b)
+                    out = eval_steps[task](
+                        state.trainable, frozen, fb, jax.random.PRNGKey(i)
+                    )
+                    losses.append(float(out["loss"]))
+                return {"loss": sum(losses) / len(losses)} if losses else {}
+
     batches = calm_batch_iterator(
         ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
         task_prob_tts=d.task_prob_tts, training=True, seed=t.seed,
@@ -153,6 +197,7 @@ def main(argv=None):
     state = run_training(
         None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),
         frozen=frozen, step_selector=step_selector, batch_filter=batch_filter,
+        eval_fn=eval_fn,
     )
 
     # component-sharded export for eval / soft restart
