@@ -299,6 +299,8 @@ class EvaluationConfig:
     cfg_scale: float = 2.5
     asr_steps: int = 20
     asr_cfg_scale: float = 1.0
+    ode_method: str = "euler"  # "euler" (reference) | "midpoint"
+    time_schedule: str = "uniform"  # "uniform" (reference) | "sway"
     eval_asr_model: Optional[str] = None
     seed: int = 42
     datasets: Dict[str, DatasetPaths] = field(default_factory=dict)

@@ -19,7 +19,6 @@ from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 FLOW_BASELINE = 2.0  # pred_v = 0 MSE for unit-Gaussian pairs

@@ -10,7 +10,7 @@ jit program (the reference re-shapes per utterance). CFG passes are fused
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,8 @@ def tts_generate_latents(
     cfg_scale: float = 2.5,
     t_aud: int = 384,
     num_frames_override: Optional[int] = None,
+    method: str = "euler",
+    time_schedule: str = "uniform",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """text -> (denormalized latents [B, t_aud, latent_dim], num_frames [B]).
 
@@ -90,6 +92,7 @@ def tts_generate_latents(
     x = ode_solve(
         head_fn, condition, x_init, steps, cfg_scale,
         context=text_ctx, context_mask=text_pad, x_mask=~frame_valid,
+        method=method, time_schedule=time_schedule,
     )
     latents = model.apply(params, x, method=QwenCALM.denormalize_latents)
     return latents, num_frames
@@ -162,7 +165,8 @@ class CALMInference:
         # is closed over (its config holds lists, so it cannot be a static arg)
         self._tts_jit = jax.jit(
             functools.partial(tts_generate_latents, model),
-            static_argnames=("steps", "cfg_scale", "t_aud"),
+            static_argnames=("steps", "cfg_scale", "t_aud", "method",
+                             "time_schedule"),
         )
         self._asr_jit = jax.jit(
             functools.partial(asr_generate_ids, model),
@@ -174,13 +178,15 @@ class CALMInference:
         return np.asarray(ids, np.int32)
 
     def tts(self, text: str, rng: jax.Array, steps: int = 50,
-            cfg_scale: float = 2.5) -> Tuple[np.ndarray, int]:
+            cfg_scale: float = 2.5, method: str = "euler",
+            time_schedule: str = "uniform") -> Tuple[np.ndarray, int]:
         """-> (latents [T_frames, latent_dim], num_frames)."""
         ids = self._encode_prompt(TTS_PROMPT.format(text))[None]
         mask = np.ones_like(ids)
         latents, num_frames = self._tts_jit(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
             rng, steps=steps, cfg_scale=cfg_scale, t_aud=self.max_audio_len,
+            method=method, time_schedule=time_schedule,
         )
         n = int(num_frames[0])
         return np.asarray(latents[0, :n]), n

@@ -7,7 +7,7 @@ conv arithmetic, exact-erf GELU) so reference checkpoints convert losslessly.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

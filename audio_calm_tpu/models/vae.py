@@ -19,7 +19,7 @@ Loss (on globally-normalized mel, reference modeling_vae.py:339-353):
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -28,7 +28,6 @@ from audio_calm_tpu.ops.mel import (
     frame_signal,
     hann_window,
     mel_filterbank,
-    stft_power,
 )
 
 

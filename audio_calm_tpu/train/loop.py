@@ -15,7 +15,6 @@ import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
 from audio_calm_tpu.config import TrainingConfig
 from audio_calm_tpu.train.checkpoint import make_manager, save_train_state

@@ -19,9 +19,8 @@ optax.MultiSteps gradient accumulation.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
-import jax
 import optax
 from flax.traverse_util import flatten_dict, unflatten_dict
 

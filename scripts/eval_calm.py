@@ -152,7 +152,9 @@ def main(argv=None):
         rt_refs, rt_preds = [], []
         for i, item in enumerate(data):
             latents, n = inf.tts(item["text"], jax.random.fold_in(rng, 1000 + i),
-                                 steps=e.steps, cfg_scale=e.cfg_scale)
+                                 steps=e.steps, cfg_scale=e.cfg_scale,
+                                 method=e.ode_method,
+                                 time_schedule=e.time_schedule)
             mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
                               method=AcousticVAE.decode)
             mel = denormalize_mel(mel_n, vae_cfg)

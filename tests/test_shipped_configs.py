@@ -1,0 +1,38 @@
+"""The shipped configs/ YAML files must parse into valid dataclasses and
+carry the reference hyperparameters."""
+
+import pytest
+
+from audio_calm_tpu.config import CALMConfig, VAEConfig, load_config
+
+
+def test_vae_yaml():
+    cfg = load_config("configs/vae.yaml", cls=VAEConfig)
+    assert cfg.model.latent_channels == 128
+    assert cfg.model.ssim_weight == 0.5  # reached the model (reference bug fixed)
+    assert cfg.training.per_device_train_batch_size == 256
+    assert cfg.training.learning_rate == pytest.approx(5e-4)
+
+
+def test_tts_yaml():
+    cfg = load_config("configs/tts.yaml", cls=CALMConfig)
+    assert cfg.model.tts_loss_weight == 1.0 and cfg.model.asr_loss_weight == 0.0
+    assert cfg.model.lora.rank == 64 and cfg.model.lora.alpha == 128
+    assert cfg.model.latent_std == pytest.approx(1.190864)
+    assert cfg.evaluation.steps == 50 and cfg.evaluation.cfg_scale == 2.5
+    assert cfg.training.soa_lr_mult == 3.0
+
+
+def test_asr_yaml():
+    cfg = load_config("configs/asr.yaml", cls=CALMConfig)
+    assert cfg.model.freeze_projector is True
+    assert cfg.model.pretrained_projector_path  # stage-2 warm start wired
+    assert cfg.training.gradient_accumulation_steps == 2
+    assert cfg.training.shard_optimizer_state is True
+
+
+def test_calm_yaml():
+    cfg = load_config("configs/calm.yaml", cls=CALMConfig)
+    assert cfg.data.task_mode == "mix" and cfg.data.task_prob_tts == 0.5
+    assert cfg.data.max_text_len == 96 and cfg.data.max_audio_len == 384
+    assert set(cfg.data.datasets) == {"asr", "tts"}
