@@ -190,10 +190,12 @@ def main(argv=None):
                     losses.append(float(out["loss"]))
                 return {"loss": sum(losses) / len(losses)} if losses else {}
 
-    batches = calm_batch_iterator(
+    from audio_calm_tpu.data.prefetch import prefetch
+
+    batches = prefetch(calm_batch_iterator(
         ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
         task_prob_tts=d.task_prob_tts, training=True, seed=t.seed,
-    )
+    ))
     state = run_training(
         None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),
         frozen=frozen, step_selector=step_selector, batch_filter=batch_filter,

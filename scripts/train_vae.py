@@ -99,9 +99,11 @@ def main(argv=None):
                     return {}
                 return {"loss": sum(losses) / len(losses)}
 
-    batches = mel_batch_iterator(
+    from audio_calm_tpu.data.prefetch import prefetch
+
+    batches = prefetch(mel_batch_iterator(
         train_ds, global_bs, training=True, seed=t.seed
-    )
+    ))
     run_training(step, state, batches, t, total_steps,
                  jax.random.PRNGKey(t.seed), eval_fn=eval_fn)
     return 0

@@ -218,3 +218,18 @@ def test_compute_stats(corpus, tmp_path):
     assert np.isfinite(mean) and np.isfinite(std) and std > 0
     mean_d, std_d = compute_stats(files, per_dim=True)
     assert mean_d.shape == (80,)
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from audio_calm_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(20)), buffer_size=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
