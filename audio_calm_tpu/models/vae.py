@@ -183,6 +183,49 @@ class AcousticVAE(nn.Module):
         }
 
 
+def load_vae(ckpt_path: str, cfg: VAEModelConfig = None):
+    """Load a pretrained VAE -> (model, params).
+
+    Mirrors the reference loader's two paths (preprocess/core.py:63-91):
+    an orbax params directory (ours), or a torch state-dict .bin/.pt
+    (reference checkpoints, converted on load).
+    """
+    import os
+
+    import jax
+
+    cfg = cfg or VAEModelConfig()
+    model = AcousticVAE(cfg)
+    if os.path.isfile(ckpt_path) or ckpt_path.endswith((".bin", ".pt")):
+        from audio_calm_tpu.models.convert import (
+            convert_vae_params, load_torch_state_dict, merge_params,
+        )
+
+        sd = load_torch_state_dict(ckpt_path)
+        init = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, cfg.total_stride * 2, cfg.in_channels)), train=False,
+        )
+        params = {
+            "params": merge_params(
+                init["params"], convert_vae_params(sd, tuple(cfg.strides))
+            )
+        }
+        return model, params
+    import orbax.checkpoint as ocp
+
+    target = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, cfg.total_stride * 2, cfg.in_channels)), train=False,
+        )
+    )
+    params = ocp.StandardCheckpointer().restore(
+        os.path.abspath(ckpt_path), target=target
+    )
+    return model, params
+
+
 def pad_to_stride(mel: jnp.ndarray, total_stride: int) -> jnp.ndarray:
     """Reflect-pad [B, T, C] time axis to a multiple of total_stride
     (reference modeling_vae.py:322-327)."""
