@@ -62,6 +62,18 @@ def zeros_params_like(model_init_fn, *args, **kwargs):
     )
 
 
+def cast_floating(tree, dtype):
+    """Cast floating leaves of a param tree (e.g. fp32 -> bf16 for serving:
+    the compute path already runs bf16, so fp32 masters only add HBM reads
+    on every ODE step)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def device_random_params(shapes, seed: int = 0, scale: float = 0.02):
     """Materialize a whole parameter tree of small random normals in ONE
     jitted program (a per-leaf host loop would mean hundreds of dispatches;

@@ -26,8 +26,6 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 def _blur(img: jnp.ndarray, win: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Separable Gaussian blur over the last two dims of [B, H, W]."""
     k = win.shape[0]
-    kh = win.reshape(k, 1, 1, 1)  # [k, 1, in=1, out=1]
-    kw = win.reshape(k, 1, 1, 1)
     x = img[..., None]  # [B, H, W, 1]
     B, H, W, _ = x.shape
     # blur along H: treat W as batch

@@ -44,7 +44,7 @@ def main():
     from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
     from audio_calm_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
 
-    from audio_calm_tpu.models.flagship import device_random_params
+    from audio_calm_tpu.models.flagship import cast_floating, device_random_params
 
     calm = QwenCALM(flagship_config(), dtype=jnp.bfloat16)
     vae = AcousticVAE(VAEModelConfig())
@@ -52,10 +52,17 @@ def main():
 
     # shapes resolve host-side (no compute); params materialize on-device in
     # ONE program as small random normals — zeros would let XLA fold the
-    # matmuls away, a host init would transfer ~6 GB through the tunnel
+    # matmuls away, a host init would transfer ~6 GB through the tunnel.
+    # Serving-style bf16 params: compute is bf16 anyway; fp32 masters would
+    # double the weight HBM traffic re-read on each of the 50 ODE steps.
     calm_params = {
-        "params": device_random_params(
-            jax.eval_shape(lambda: init_calm_params(calm, jax.random.PRNGKey(0)))
+        "params": cast_floating(
+            device_random_params(
+                jax.eval_shape(
+                    lambda: init_calm_params(calm, jax.random.PRNGKey(0))
+                )
+            ),
+            jnp.bfloat16,
         )
     }
     vae_params = device_random_params(

@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--config", default="configs/calm.yaml")
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from env "
+                        "(COORDINATOR_ADDRESS etc.) before device discovery")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--byte-tokenizer", action="store_true",
                    help="use the byte fallback tokenizer (smoke tests)")
@@ -26,6 +29,8 @@ def main(argv=None):
 
     import jax
 
+    if args.distributed:
+        jax.distributed.initialize()  # reads JAX_COORDINATOR_ADDRESS etc.
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)

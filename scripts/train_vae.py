@@ -15,12 +15,17 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap steps (overrides epochs)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from env "
+                        "(COORDINATOR_ADDRESS etc.) before device discovery")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (8 virtual devices)")
     args = p.parse_args(argv)
 
     import jax
 
+    if args.distributed:
+        jax.distributed.initialize()  # reads JAX_COORDINATOR_ADDRESS etc.
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
