@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Minimal production-style HTTP inference server (stdlib only).
+
+Endpoints:
+  GET  /health              -> {"status": "ok"}
+  POST /tts  {"text": ..., "steps"?, "cfg_scale"?}   -> audio/wav bytes
+  POST /asr  (body: WAV bytes)                       -> {"text": ...}
+
+The reference ships only a (broken) gradio demo; this is the headless
+serving path: one process, jit-compiled once per static shape, requests
+served from the warm cache.
+
+  python scripts/serve.py --config configs/calm.yaml \
+      --components <dir> [--port 8080] [--byte-tokenizer] [--cpu]
+"""
+
+import argparse
+import io
+import json
+import sys
+import wave
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+def build_engine(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_calm_tpu.config import CALMConfig, MelConfig, VAEModelConfig, load_config
+    from audio_calm_tpu.eval.infer import CALMInference
+    from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
+    from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, pad_to_stride
+    from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+    from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
+    from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
+    from audio_calm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
+    m = cfg.model
+    if args.byte_tokenizer:
+        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+    else:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+
+    model = QwenCALM(m, dtype=jnp.float32)
+    params = init_calm_params(model, jax.random.PRNGKey(0))
+    if args.components:
+        params = soft_restart(
+            params, {c: args.components for c in COMPONENTS + ("lora",)}
+        )
+    inf = CALMInference(model, {"params": params}, tokenizer)
+
+    vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
+    if m.vae_path:
+        from audio_calm_tpu.models.vae import load_vae
+
+        vae, vae_params = load_vae(m.vae_path, vae_cfg)
+    else:
+        vae = AcousticVAE(vae_cfg)
+        vae_params = vae.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 8, 80)), train=False,
+        )
+    vocoder = GriffinLimVocoder()
+    frontend = MelFrontend(MelConfig())
+    rng_state = [jax.random.PRNGKey(cfg.evaluation.seed)]
+
+    def tts(text, steps, cfg_scale):
+        rng_state[0], k = jax.random.split(rng_state[0])
+        latents, n = inf.tts(text, k, steps=steps, cfg_scale=cfg_scale,
+                             method=cfg.evaluation.ode_method,
+                             time_schedule=cfg.evaluation.time_schedule)
+        mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
+                          method=AcousticVAE.decode)
+        wav = np.asarray(vocoder(denormalize_mel(mel_n, vae_cfg)))[0]
+        return np.clip(wav, -1, 1)
+
+    def asr(wav_f32, steps):
+        w = process_audio_chunk(jnp.asarray(wav_f32))
+        mel = pad_to_stride(frontend(w[None]), vae_cfg.total_stride)
+        mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
+        rng_state[0], k = jax.random.split(rng_state[0])
+        return inf.asr(np.asarray(mu[0]), k, steps=steps)
+
+    return tts, asr, cfg
+
+
+def wav_bytes(x, sr=16000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("int16").tobytes())
+    return buf.getvalue()
+
+
+def parse_wav(data):
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if w.getnchannels() > 1:
+            x = x.reshape(-1, w.getnchannels()).mean(axis=1)
+    from audio_calm_tpu.data.preprocess import resample_linear
+
+    return resample_linear(x, sr, 16000)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/calm.yaml")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--components", default=None)
+    p.add_argument("--byte-tokenizer", action="store_true")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    tts, asr, cfg = build_engine(args)
+    e = cfg.evaluation
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):
+            print(f"[serve] {fmt % a}", file=sys.stderr)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok"})
+            return self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                if self.path == "/tts":
+                    req = json.loads(body or b"{}")
+                    text = req.get("text", "")
+                    if not text:
+                        return self._json(400, {"error": "missing 'text'"})
+                    wav = tts(text, int(req.get("steps", e.steps)),
+                              float(req.get("cfg_scale", e.cfg_scale)))
+                    data = wav_bytes(wav)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                if self.path == "/asr":
+                    try:
+                        x = parse_wav(body)
+                    except Exception:
+                        return self._json(400, {"error": "body must be WAV"})
+                    return self._json(200, {"text": asr(x, e.asr_steps)})
+                return self._json(404, {"error": "unknown path"})
+            except Exception as ex:  # surface, don't crash the server
+                return self._json(500, {"error": str(ex)})
+
+    srv = HTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"serving on :{args.port} (tts steps={e.steps} cfg={e.cfg_scale})")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
