@@ -245,6 +245,10 @@ class DataConfig:
     max_text_len: int = 96
     max_audio_len: int = 384
     latent_downsample: int = 1
+    # optional audio-length buckets (ascending, last == max_audio_len):
+    # batches pad to the smallest bucket that fits, trading one extra XLA
+    # compile per bucket for less wasted compute on short utterances
+    audio_buckets: Optional[List[int]] = None
     # VAE training data
     data_dir: Optional[str] = None
     eval_data_dir: Optional[str] = None

@@ -11,7 +11,7 @@ reference train_calm.py:184-191.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional  # noqa: F401
 
 import numpy as np
 
@@ -77,13 +77,20 @@ def calm_batch_iterator(
     training: bool = True,
     seed: int = 0,
     epochs: Optional[int] = None,
+    audio_buckets: Optional[List[int]] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield task-homogeneous static batches, dropping ragged tails.
 
     Each batch's task is drawn ~ Bernoulli(task_prob_tts) among available
     tasks; corrupt samples are skipped and backfilled (the reference instead
     emits dummy batches, train_calm.py:223-231).
+
+    With audio_buckets (ascending lengths), each batch pads its audio to the
+    smallest bucket that fits its longest example — one jit compile per
+    (task, bucket) shape instead of always paying max_audio_len.
     """
+    if audio_buckets:
+        audio_buckets = sorted(audio_buckets)
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
@@ -116,9 +123,16 @@ def calm_batch_iterator(
                     examples.append(ex)
             if len(examples) < batch_size:
                 break
+            t_aud = dataset.max_audio_len
+            if audio_buckets:
+                longest = max(len(ex.audio) for ex in examples)
+                t_aud = next(
+                    (b for b in audio_buckets if b >= longest),
+                    dataset.max_audio_len,
+                )
             batch = collate_calm(
                 examples, pad_token_id, dataset.max_text_len,
-                dataset.max_audio_len, latent_dim, training=training, rng=rng,
+                t_aud, latent_dim, training=training, rng=rng,
             )
             batch["task"] = task  # host-side routing key (not a device array)
             yield batch

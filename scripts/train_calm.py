@@ -200,6 +200,7 @@ def main(argv=None):
     batches = prefetch(calm_batch_iterator(
         ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
         task_prob_tts=d.task_prob_tts, training=True, seed=t.seed,
+        audio_buckets=d.audio_buckets,
     ))
     state = run_training(
         None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),

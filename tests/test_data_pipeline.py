@@ -233,3 +233,26 @@ def test_prefetch_preserves_order_and_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_bucketed_batches(corpus, tmp_path):
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels")
+    CorpusProcessor(batch_size=4).process_corpus(
+        scan_audio_files(in_root), out_root, in_root,
+        text_resolver=librispeech_text,
+    )
+    ds = CalmDataset(
+        StubTok(), tts_latent_dir=out_root, tts_subsets="dev-clean",
+        max_text_len=32, max_audio_len=64, task_mode="tts",
+    )
+    shapes = set()
+    for b in calm_batch_iterator(
+        ds, batch_size=1, pad_token_id=0, latent_dim=80, task_prob_tts=1.0,
+        training=False, seed=0, epochs=1, audio_buckets=[24, 48, 64],
+    ):
+        shapes.add(b["latents"].shape[1])
+        # mask never exceeds the bucket
+        assert b["audio_mask"].shape[1] == b["latents"].shape[1]
+    # corpus has 1-3s files (~16-48 mel frames): multiple buckets used
+    assert len(shapes) >= 2 and shapes <= {24, 48, 64}
