@@ -52,3 +52,33 @@ def test_predictor_error_stats():
     pred = np.array([110.0, 180.0])
     s = predictor_error_stats(pred, gt)
     assert abs(s["mean"] - 0.1) < 1e-6
+
+
+def test_profiler_trace_and_flops(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from audio_calm_tpu.utils.profiling import StepTimer, flops_estimate, trace
+
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((64, 64))
+    cost = flops_estimate(f, x)
+    assert cost["flops"] > 2 * 64**3 * 0.5  # ~2*n^3 matmul flops
+
+    with trace(str(tmp_path / "tb")):
+        jax.block_until_ready(f(x))
+    import os
+
+    dumped = [
+        os.path.join(dp, fn)
+        for dp, _, fs in os.walk(tmp_path / "tb")
+        for fn in fs
+    ]
+    assert dumped, "profiler trace produced no files"
+
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        t.tick(f(x))
+    assert t.steps_per_sec > 0

@@ -123,3 +123,41 @@ def test_parity_vs_hf_transformers():
     valid = np.asarray(mask, bool)[0]
     diff = np.max(np.abs(ours[0, valid] - ref[0, valid]))
     assert diff < 2e-4, diff
+
+
+def test_parity_vs_hf_gqa_ratio_6():
+    """Flagship uses 12 q heads over 2 kv heads (ratio 6); verify the GQA
+    broadcast at that ratio against HF."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    cfg = Qwen2Config(
+        vocab_size=256, hidden_size=96, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=12, num_key_value_heads=2,
+        head_dim=8, rope_theta=10000.0,
+    )
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=True, attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    hf = transformers.Qwen2Model(hf_cfg).eval().float()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    converted = convert_qwen2(sd, cfg)
+
+    model = Qwen2Model(cfg, dtype=jnp.float32)
+    embed = Qwen2Embed(cfg)
+    ids = np.array([[5, 9, 3, 7]], dtype=np.int64)
+    ep = embed.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    ep = {"params": merge_params(ep["params"], converted["embed"])}
+    x = embed.apply(ep, jnp.asarray(ids))
+    mp = model.init(jax.random.PRNGKey(0), x)
+    mp = {"params": merge_params(mp["params"], converted["model"])}
+    ours = np.asarray(model.apply(mp, x))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    assert np.max(np.abs(ours - ref)) < 2e-4
