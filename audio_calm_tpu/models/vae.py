@@ -188,12 +188,28 @@ def load_vae(ckpt_path: str, cfg: VAEModelConfig = None):
 
     Mirrors the reference loader's two paths (preprocess/core.py:63-91):
     an orbax params directory (ours), or a torch state-dict .bin/.pt
-    (reference checkpoints, converted on load).
+    (reference checkpoints, converted on load). When no cfg is given, a
+    `vae_config.json` sidecar next to the checkpoint (written by
+    scripts/train_vae.py) supplies the geometry — the from_pretrained
+    behavior of the reference.
     """
+    import json
     import os
 
     import jax
 
+    if cfg is None:
+        for candidate in (
+            os.path.join(ckpt_path, "vae_config.json"),
+            os.path.join(os.path.dirname(ckpt_path.rstrip("/")),
+                         "vae_config.json"),
+        ):
+            if os.path.exists(candidate):
+                from audio_calm_tpu.config import from_dict
+
+                with open(candidate) as f:
+                    cfg = from_dict(VAEModelConfig, json.load(f))
+                break
     cfg = cfg or VAEModelConfig()
     model = AcousticVAE(cfg)
     if os.path.isfile(ckpt_path) or ckpt_path.endswith((".bin", ".pt")):

@@ -63,6 +63,7 @@ class ResBlock1(nn.Module):
     kernel_size: int
     dilations: Tuple[int, ...]
     slope: float = 0.1
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -70,40 +71,46 @@ class ResBlock1(nn.Module):
         for i, d in enumerate(self.dilations):
             h = lrelu(x, self.slope)
             h = Conv1d(self.channels, k, padding=d * (k - 1) // 2, dilation=d,
-                       name=f"convs1_{i}")(h)
+                       dtype=self.dtype, name=f"convs1_{i}")(h)
             h = lrelu(h, self.slope)
             h = Conv1d(self.channels, k, padding=(k - 1) // 2,
-                       name=f"convs2_{i}")(h)
+                       dtype=self.dtype, name=f"convs2_{i}")(h)
             x = x + h
         return x
 
 
 class HiFiGANGenerator(nn.Module):
-    """mel [B, T, 80] -> waveform [B, T * total_upsample]."""
+    """mel [B, T, 80] -> waveform [B, T * total_upsample].
+
+    dtype: compute dtype (params stay fp32); bf16 halves the conv-stack HBM
+    traffic on the longest tensors in the pipeline (the upsampled waveform
+    activations) with negligible audio impact (final tanh in fp32).
+    """
 
     cfg: HiFiGANConfig = HiFiGANConfig()
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         ch = c.upsample_initial_channel
-        x = Conv1d(ch, 7, padding=3, name="conv_pre")(mel)
+        x = Conv1d(ch, 7, padding=3, dtype=self.dtype, name="conv_pre")(mel)
         for i, (r, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             x = lrelu(x, c.lrelu_slope)
             ch //= 2
             x = ConvTranspose1d(ch, k, stride=r, padding=(k - r) // 2,
-                                name=f"ups_{i}")(x)
+                                dtype=self.dtype, name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(c.resblock_kernel_sizes, c.resblock_dilations)
             ):
-                h = ResBlock1(ch, rk, rd, c.lrelu_slope,
+                h = ResBlock1(ch, rk, rd, c.lrelu_slope, dtype=self.dtype,
                               name=f"resblocks_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(c.resblock_kernel_sizes)
         x = lrelu(x, c.lrelu_slope)
-        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        x = Conv1d(1, 7, padding=3, dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 # ---------------------------------------------------------------------------

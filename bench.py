@@ -48,6 +48,8 @@ def main():
 
     calm = QwenCALM(flagship_config(), dtype=jnp.bfloat16)
     vae = AcousticVAE(VAEModelConfig())
+    # measured: bf16 vocoder compute is SLOWER on v5e (119x vs 156x — the
+    # transposed convs lower badly in bf16); keep the vocoder fp32
     voc = HiFiGANGenerator(HiFiGANConfig())
 
     # shapes resolve host-side (no compute); params materialize on-device in

@@ -71,28 +71,25 @@ def main(argv=None):
     vae_apply = None
     total_stride = 4
     if args.vae_ckpt and not args.mel_only:
-        import orbax.checkpoint as ocp
+        from audio_calm_tpu.models.vae import AcousticVAE, load_vae
 
-        from audio_calm_tpu.config import VAEModelConfig
-        from audio_calm_tpu.models.vae import AcousticVAE
-
-        vae_cfg = VAEModelConfig()
-        vae = AcousticVAE(vae_cfg)
-        target = jax.eval_shape(
-            lambda: vae.init(
-                {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-                jnp.zeros((1, 8, 80)), train=False,
-            )
-        )
-        import os
-
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.vae_ckpt), target=target
-        )
+        # geometry from the vae_config.json sidecar (or defaults)
+        vae, params = load_vae(args.vae_ckpt)
+        vae_cfg = vae.cfg
         total_stride = vae_cfg.total_stride
+        mel_mean, mel_std = vae_cfg.mel_mean, vae_cfg.mel_std
 
         def vae_apply(mel):
-            mu, _ = vae.apply(params, mel, method=AcousticVAE.encode)
+            # DELIBERATE DEVIATION: the reference extracts latents from RAW
+            # log-mel (process_dataset.py:161 calls vae.encode directly)
+            # although its VAE was trained on globally-normalized mel
+            # (modeling_vae.py:317-330) — an internal inconsistency (see
+            # also check_pt.py's ad-hoc ln->log10 fixup). We feed the
+            # encoder the same normalized distribution it was trained on;
+            # latent stats are recomputed per store (--stats latent).
+            mu, _ = vae.apply(
+                params, (mel - mel_mean) / mel_std, method=AcousticVAE.encode
+            )
             return mu
 
     resolver = None

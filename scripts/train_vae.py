@@ -109,8 +109,31 @@ def main(argv=None):
     batches = prefetch(mel_batch_iterator(
         train_ds, global_bs, training=True, seed=t.seed
     ))
-    run_training(step, state, batches, t, total_steps,
-                 jax.random.PRNGKey(t.seed), eval_fn=eval_fn)
+    state = run_training(step, state, batches, t, total_steps,
+                         jax.random.PRNGKey(t.seed), eval_fn=eval_fn)
+
+    # export final params in the {"params": ...} layout every consumer of
+    # --vae_ckpt expects (process_dataset latent extraction, eval_vae,
+    # models.vae.load_vae)
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from audio_calm_tpu.train.optim import merge_partitions
+
+    final = {"params": merge_partitions(state.trainable, {})}
+    ckptr = ocp.StandardCheckpointer()
+    out = os.path.abspath(os.path.join(t.output_dir, "params"))
+    ckptr.save(out, jax.tree_util.tree_map(np.asarray, final), force=True)
+    ckptr.wait_until_finished()
+    # geometry sidecar so load_vae / process_dataset reconstruct the model
+    import dataclasses
+    import json
+
+    with open(os.path.join(t.output_dir, "vae_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg.model), f, indent=1)
+    print(f"saved final VAE params to {out}")
     return 0
 
 
