@@ -102,28 +102,18 @@ def main(argv=None):
                   f"({len(refs)} samples) -> {out_csv}")
 
     if e.task in ("tts", "mix"):
-        from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
-        from audio_calm_tpu.models.vocoder import GriffinLimVocoder
         from audio_calm_tpu.config import VAEModelConfig
+        from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, load_vae
+        from audio_calm_tpu.models.vocoder import GriffinLimVocoder
 
-        vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
-        vae = AcousticVAE(vae_cfg)
-        vae_params = None
-        if m.vae_path and os.path.isdir(m.vae_path):
-            import orbax.checkpoint as ocp
-
-            target = jax.eval_shape(
-                lambda: vae.init(
-                    {"params": jax.random.PRNGKey(0),
-                     "noise": jax.random.PRNGKey(1)},
-                    jnp.zeros((1, 8, 80)), train=False,
-                )
-            )
-            vae_params = ocp.StandardCheckpointer().restore(
-                os.path.abspath(m.vae_path), target=target
-            )
-        if vae_params is None:
+        if m.vae_path and os.path.exists(m.vae_path):
+            # geometry from the vae_config.json sidecar (or defaults)
+            vae, vae_params = load_vae(m.vae_path)
+            vae_cfg = vae.cfg
+        else:
             print("warning: no VAE checkpoint; using random VAE decoder")
+            vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
+            vae = AcousticVAE(vae_cfg)
             vae_params = vae.init(
                 {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
                 jnp.zeros((1, 8, 80)), train=False,
