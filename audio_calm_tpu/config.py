@@ -81,7 +81,7 @@ def from_dict(cls, data: Optional[Dict[str, Any]]):
         )
     kwargs = {}
     for name, value in data.items():
-        kwargs[name] = _coerce(value, known[name].type_resolved if hasattr(known[name], "type_resolved") else _resolve_type(cls, name))
+        kwargs[name] = _coerce(value, _resolve_type(cls, name))
     return cls(**kwargs)
 
 

@@ -9,20 +9,12 @@ __graft_entry__.py; real deployments load converted weights on top
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from audio_calm_tpu.config import (
-    CALMModelConfig,
-    LoRAConfig,
-    Qwen2Config,
-    VAEModelConfig,
-)
-from audio_calm_tpu.models.calm import QwenCALM
-from audio_calm_tpu.models.vae import AcousticVAE
-from audio_calm_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
+from audio_calm_tpu.config import CALMModelConfig, LoRAConfig, Qwen2Config
 
 
 def flagship_config(
@@ -46,19 +38,6 @@ def flagship_config(
         lora=LoRAConfig(rank=64, alpha=128.0, dropout=0.05),
         latent_mean=0.039775,
         latent_std=1.190864,
-    )
-
-
-def zeros_params_like(model_init_fn, *args, **kwargs):
-    """Shape-faithful zero parameters without running the init program.
-
-    For compile checks and throughput benchmarks the parameter VALUES are
-    irrelevant (same FLOPs); materializing 1.5B zeros is near-free while a
-    real random init would compile + run the full forward once.
-    """
-    shapes = jax.eval_shape(model_init_fn, *args, **kwargs)
-    return jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes
     )
 
 
@@ -97,39 +76,3 @@ def device_random_params(shapes, seed: int = 0, scale: float = 0.02):
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return make()
-
-
-def build_flagship(
-    num_llm_layers: Optional[int] = None,
-    dtype=jnp.bfloat16,
-) -> Tuple[QwenCALM, Dict[str, Any], AcousticVAE, Dict, HiFiGANGenerator, Dict]:
-    """-> (calm, calm_params, vae, vae_params, vocoder, vocoder_params),
-    all zero-initialized at flagship scale."""
-    cfg = flagship_config(num_llm_layers)
-    calm = QwenCALM(cfg, dtype=dtype)
-
-    def calm_init(rng):
-        from audio_calm_tpu.models.calm import init_calm_params
-
-        return init_calm_params(calm, rng)
-
-    calm_params = {"params": zeros_params_like(calm_init, jax.random.PRNGKey(0))}
-
-    vae_cfg = VAEModelConfig()
-    vae = AcousticVAE(vae_cfg)
-
-    def vae_init(rng):
-        return vae.init(
-            {"params": rng, "noise": jax.random.PRNGKey(1)},
-            jnp.zeros((1, 8, 80)), train=False,
-        )
-
-    vae_params = zeros_params_like(vae_init, jax.random.PRNGKey(0))
-
-    voc = HiFiGANGenerator(HiFiGANConfig())
-
-    def voc_init(rng):
-        return voc.init(rng, jnp.zeros((1, 8, 80)))
-
-    voc_params = zeros_params_like(voc_init, jax.random.PRNGKey(0))
-    return calm, calm_params, vae, vae_params, voc, voc_params

@@ -29,10 +29,14 @@ def main():
 
     enable_compilation_cache()
 
+    import os
+
     t_aud = 384  # latent frames == 24.576 s of 16 kHz audio at hop 256 x4
     steps = 50
     cfg_scale = 2.5
-    batch = 1
+    # headline is single-stream (B=1); BENCH_BATCH=N measures aggregate
+    # serving throughput instead
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     sample_rate = 16000
     hop = 256
     stride = 4
