@@ -117,6 +117,90 @@ def fused_attention(
     return out.transpose(0, 2, 1, 3)
 
 
+def _attn_kernel_batched(valid_ref, q_ref, k_ref, v_ref, o_ref, *,
+                         causal: bool, scale: float, group: int):
+    """All heads of one batch row in a single program: the per-head variant
+    is launch-overhead-bound at this framework's tile sizes (19 MFLOP per
+    program); looping heads in-kernel amortizes it H-fold."""
+    Hq = q_ref.shape[1]
+    T = q_ref.shape[2]
+    S = k_ref.shape[2]
+
+    mask = (valid_ref[0, 0, :] > 0)[None, :]
+    mask = jnp.broadcast_to(mask, (T, S))
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        mask = mask & (col <= row + (S - T))
+
+    for h in range(Hq):  # static unroll; Hq <= 16 here
+        q = q_ref[0, h, :, :]
+        k = k_ref[0, h // group, :, :]
+        v = v_ref[0, h // group, :, :]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(mask, scores, NEG)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h, :, :] = out.astype(o_ref.dtype)
+
+
+def fused_attention_batched(
+    q: jnp.ndarray,  # [B, T, Hq, d]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_valid: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One program per batch row, heads looped in-kernel (v2)."""
+    B, T, Hq, d = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    if key_valid is None:
+        key_valid = jnp.ones((B, S), jnp.int32)
+    key_valid = key_valid.astype(jnp.int32)[:, None, :]
+
+    q_t = q.transpose(0, 2, 1, 3)
+    k_t = k.transpose(0, 2, 1, 3)
+    v_t = v.transpose(0, 2, 1, 3)
+    kernel = functools.partial(
+        _attn_kernel_batched, causal=causal, scale=1.0 / (d**0.5), group=group
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, d), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hq, T, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, S, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, S, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, T, d), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * Hq * T * S * d,
+            bytes_accessed=(
+                2 * B * Hq * T * d * 4 + 2 * B * Hkv * S * d * 4
+            ),
+            transcendentals=B * Hq * T * S,
+        ),
+    )(key_valid, q_t, k_t, v_t)
+    return out.transpose(0, 2, 1, 3)
+
+
 def attention_available(q_shape, k_shape) -> bool:
     """Conservative gate: Pallas path for TPU-friendly geometries."""
     B, T, Hq, d = q_shape

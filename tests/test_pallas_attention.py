@@ -59,3 +59,21 @@ def test_availability_gate():
     assert attention_available((1, 96, 16, 96), (1, 96, 16, 96))  # d=96 ok
     assert not attention_available((1, 16, 4, 80), (1, 16, 4, 80))  # d%32
     assert not attention_available((1, 4096, 4, 64), (1, 4096, 4, 64))
+
+
+def test_fused_attention_batched_matches_xla():
+    """v2 (per-batch grid, heads looped in-kernel) parity."""
+    from audio_calm_tpu.ops.pallas_attention import fused_attention_batched
+
+    rng = np.random.default_rng(3)
+    B, T, Hq, d = 2, 16, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, 2, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, 2, d)), jnp.float32)
+    key_valid = jnp.asarray(np.arange(T)[None, :] < np.array([[12], [16]]),
+                            jnp.int32)
+    ours = fused_attention_batched(q, k, v, key_valid=key_valid, causal=True,
+                                   interpret=True)
+    ref = _ref(q, k, v, key_valid=key_valid, causal=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
