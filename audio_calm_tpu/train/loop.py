@@ -64,6 +64,10 @@ def run_training(
     step_selector(batch) may return a different jitted step per batch (used
     for the tts/asr task routing); otherwise step_fn is used. Host-only batch
     keys (like "task") should be stripped by batch_filter.
+
+    Resume restores model/optimizer/step but does NOT fast-forward the data
+    iterator (equivalent to the reference's ignore_data_skip=True); pass a
+    differently-seeded iterator if exact data order matters.
     """
     logger = MetricLogger(cfg.output_dir, cfg.run_name, cfg.report_to)
     manager = make_manager(
