@@ -69,7 +69,7 @@ class QwenCALM(nn.Module):
             gradient_checkpointing=True,
             dtype=self.dtype,
         )
-        self.input_proj = AudioInputProjector(qdim, use_rope=False)
+        self.input_proj = AudioInputProjector(qdim, use_rope=False, dtype=self.dtype)
         # learned start-of-audio embedding (reference inits from the mean
         # vocab embedding, modeling_calm.py:568-572; see init_soa_value)
         self.soa_embed = self.param(

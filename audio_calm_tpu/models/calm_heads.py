@@ -26,16 +26,19 @@ from audio_calm_tpu.ops.attention import MultiheadAttention
 
 
 class CausalConv1d(nn.Module):
-    """Left-padded conv (streaming-safe; reference modeling_calm.py:22-31)."""
+    """Left-padded conv (streaming-safe; reference modeling_calm.py:22-31).
+    Optional compute dtype (params stay fp32)."""
 
     features: int
     kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):  # [B, T, C]
+    def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
         return nn.Conv(
-            self.features, (self.kernel_size,), padding="VALID", name="conv"
+            self.features, (self.kernel_size,), padding="VALID",
+            dtype=self.dtype, name="conv",
         )(x)
 
 
@@ -50,19 +53,23 @@ class AudioInputProjector(nn.Module):
     llm_dim: int
     use_rope: bool = False
     rope_base: float = 10000.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = CausalConv1d(self.llm_dim, 3, name="conv1")(x)
+        x = CausalConv1d(self.llm_dim, 3, dtype=self.dtype, name="conv1")(x)
         x = gelu(x)
-        x = CausalConv1d(self.llm_dim, 3, name="conv2")(x)
+        x = CausalConv1d(self.llm_dim, 3, dtype=self.dtype, name="conv2")(x)
         for i in range(2):
-            h = nn.LayerNorm(epsilon=1e-6, name=f"block{i}_ln")(x)
-            h = nn.Dense(self.llm_dim * 2, name=f"block{i}_fc1")(h)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"block{i}_ln")(x)
+            h = nn.Dense(self.llm_dim * 2, dtype=self.dtype,
+                         name=f"block{i}_fc1")(h)
             h = gelu(h)
-            h = nn.Dense(self.llm_dim, name=f"block{i}_fc2")(h)
+            h = nn.Dense(self.llm_dim, dtype=self.dtype,
+                         name=f"block{i}_fc2")(h)
             x = x + h
-        x = nn.LayerNorm(epsilon=1e-6, name="post_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="post_norm")(x)
         if self.use_rope:
             x = _interleaved_rope(x, self.rope_base)
         return x
