@@ -299,6 +299,9 @@ class EvaluationConfig:
     output_dir: str = "outputs/eval_results"
     max_samples: int = 50
     use_vocoder: bool = True
+    # HiFi-GAN checkpoint (torch .bin/.ckpt file or SpeechBrain dir);
+    # None -> Griffin-Lim fallback (reference eval_calm.py:169-208)
+    vocoder_path: Optional[str] = None
     steps: int = 50
     cfg_scale: float = 2.5
     asr_steps: int = 20

@@ -292,7 +292,7 @@ class FlowMatchingHead(nn.Module):
             h = jax.nn.silu(h)
             h = nn.Conv(self.hidden_dim, (1,), name=f"res{i}_conv2")(h)
             x = x + h
-        x = nn.GroupNorm(num_groups=8, name="out_norm")(x)
+        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="out_norm")(x)
         x = jax.nn.silu(x)
         return nn.Conv(
             self.output_dim, (3,), padding=[(1, 1)],

@@ -134,6 +134,45 @@ def convert_torch_mha(
 
 
 # ---------------------------------------------------------------------------
+# peft LoRA adapters (reference train_calm.py:458-485, eval_calm.py:249-252)
+# ---------------------------------------------------------------------------
+def convert_peft_adapter(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """peft `adapter_model.bin`/`.safetensors` state dict -> partial llm tree
+    holding lora_a/lora_b leaves.
+
+    peft keys look like
+      base_model.model.model.layers.3.self_attn.q_proj.lora_A.weight
+    (older saves may carry an extra `.default.` adapter name). peft stores
+    A as [r, in] and B as [out, r] (torch Linear layout); our LoRADense uses
+    lora_a [in, r], lora_b [r, out], so both transpose. The alpha/r scaling
+    is applied at runtime by both implementations, so weights convert 1:1.
+    """
+    out: Dict[str, Any] = {}
+    for key, value in sd.items():
+        k = key.replace(".default.", ".")
+        if ".lora_A." in k:
+            leaf = "lora_a"
+        elif ".lora_B." in k:
+            leaf = "lora_b"
+        else:
+            continue  # non-LoRA entries (e.g. modules_to_save) not supported
+        # isolate "...layers.{i}.{self_attn|mlp}.{proj}..."
+        parts = k.split(".")
+        try:
+            li = parts.index("layers")
+        except ValueError:
+            raise KeyError(f"cannot locate layer index in peft key {key!r}")
+        layer, module, proj = parts[li + 1], parts[li + 2], parts[li + 3]
+        w = np.asarray(value).T.astype(np.float32)
+        out.setdefault(f"layers_{layer}", {}).setdefault(module, {}).setdefault(
+            proj, {}
+        )[leaf] = w
+    if not out:
+        raise ValueError("no lora_A/lora_B tensors found in adapter state dict")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Conv helpers (reference AcousticVAE / projector)
 # ---------------------------------------------------------------------------
 def conv1d_w(w: np.ndarray) -> np.ndarray:
@@ -207,6 +246,46 @@ def convert_flow_head(sd: Dict[str, np.ndarray], num_layers: int,
             blk["ctx_gate"] = np.asarray(sd[p + "ctx_gate"]).astype(np.float32)
         out[f"blocks_{i}"] = blk
     return out
+
+
+def convert_legacy_flow_head(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference legacy dilated-ResNet FlowMatchingHead state dict
+    (modeling_calm.py:100-168, pre-DiT checkpoints) -> our flax tree
+    (calm_heads.FlowMatchingHead).
+
+    torch layout: time_mlp.{1,3} Linear, in_proj Conv1d(k3),
+    layers.{i}.conv.{1,3} Conv1d (k3 dilated, k1), out_proj.0 GroupNorm,
+    out_proj.2 Conv1d(k3, zero-init).
+    """
+
+    def conv(name):
+        return {
+            "kernel": conv1d_w(np.asarray(sd[name + ".weight"])),
+            "bias": np.asarray(sd[name + ".bias"]).astype(np.float32),
+        }
+
+    num_layers = 0
+    while f"layers.{num_layers}.conv.1.weight" in sd:
+        num_layers += 1
+    out: Dict[str, Any] = {
+        "time_fc1": _lin(sd, "time_mlp.1"),
+        "time_fc2": _lin(sd, "time_mlp.3"),
+        "in_proj": conv("in_proj"),
+        "out_norm": {
+            "scale": np.asarray(sd["out_proj.0.weight"]).astype(np.float32),
+            "bias": np.asarray(sd["out_proj.0.bias"]).astype(np.float32),
+        },
+        "out_proj": conv("out_proj.2"),
+    }
+    for i in range(num_layers):
+        out[f"res{i}_conv1"] = conv(f"layers.{i}.conv.1")
+        out[f"res{i}_conv2"] = conv(f"layers.{i}.conv.3")
+    return out
+
+
+def is_legacy_flow_head(sd: Dict[str, np.ndarray]) -> bool:
+    """Distinguish a pre-DiT ResNet head .bin from a DiT head .bin."""
+    return "layers.0.conv.1.weight" in sd
 
 
 def convert_input_projector(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:

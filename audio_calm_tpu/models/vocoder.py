@@ -14,6 +14,7 @@ waveform via upsample rates (8, 8, 2, 2).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Tuple
 
@@ -171,6 +172,71 @@ def convert_hifigan(sd: Dict[str, np.ndarray], cfg: HiFiGANConfig = HiFiGANConfi
                 }}
             params[f"resblocks_{i}_{j}"] = blk
     return params
+
+
+class HiFiGANVocoder:
+    """Host wrapper binding converted HiFi-GAN params to a jitted decode.
+
+    log-mel [B, T, n_mels] -> waveform [B, T * total_upsample], mirroring the
+    reference's primary vocoder (SpeechBrain `decode_batch`,
+    eval/eval_calm.py:175-181); Griffin-Lim is only the fallback.
+    """
+
+    def __init__(self, params: Dict, cfg: HiFiGANConfig = HiFiGANConfig(),
+                 dtype=None):
+        self.cfg = cfg
+        self.generator = HiFiGANGenerator(cfg, dtype=dtype)
+        self.params = {"params": params}
+        self._decode = jax.jit(self.generator.apply)
+
+    def __call__(self, log_mel: jnp.ndarray) -> jnp.ndarray:
+        return self._decode(self.params, log_mel)
+
+
+def _strip_state_dict_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip any wrapper prefix (e.g. "generator.", "module.", "model.") so
+    keys start at conv_pre/ups/resblocks/conv_post."""
+    anchor = None
+    for k in sd:
+        i = k.find("conv_pre.")
+        if i >= 0:
+            anchor = k[:i]
+            break
+    if not anchor:
+        return sd
+    return {k[len(anchor):]: v for k, v in sd.items() if k.startswith(anchor)}
+
+
+def load_vocoder(path: str | None = None,
+                 cfg: HiFiGANConfig = HiFiGANConfig()):
+    """Build the product-path vocoder: HiFi-GAN when a checkpoint exists at
+    `path`, Griffin-Lim otherwise (reference eval_calm.py:169-208 ordering).
+
+    `path` may be a torch checkpoint file (.bin/.pt/.ckpt/.safetensors) or a
+    SpeechBrain-style directory containing generator.ckpt / model.ckpt.
+    """
+    sd = None
+    if path:
+        candidate = None
+        if os.path.isdir(path):
+            for name in ("generator.ckpt", "model.ckpt", "generator.bin",
+                         "pytorch_model.bin", "model.safetensors"):
+                p = os.path.join(path, name)
+                if os.path.exists(p):
+                    candidate = p
+                    break
+        elif os.path.isfile(path):
+            candidate = path
+        if candidate:
+            from audio_calm_tpu.models.convert import load_torch_state_dict
+
+            sd = _strip_state_dict_prefix(load_torch_state_dict(candidate))
+        else:
+            print(f"warning: vocoder checkpoint not found at {path}; "
+                  "falling back to Griffin-Lim")
+    if sd is not None:
+        return HiFiGANVocoder(convert_hifigan(sd, cfg), cfg)
+    return GriffinLimVocoder()
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,9 @@ def load_torch_component(path: str, component: str, model_cfg=None) -> Any:
 
     sd = C.load_torch_state_dict(path)
     if component in ("tts_flow_head", "asr_flow_head"):
+        if C.is_legacy_flow_head(sd):
+            # pre-DiT dilated-ResNet head (modeling_calm.py:100-168)
+            return C.convert_legacy_flow_head(sd)
         num_layers = 0
         while any(k.startswith(f"blocks.{num_layers}.") for k in sd):
             num_layers += 1
@@ -156,15 +159,33 @@ def load_torch_component(path: str, component: str, model_cfg=None) -> Any:
         return np.asarray(sd["weight"]).astype(np.float32).reshape(1, 1, -1)
     if component == "vae":
         return C.convert_vae_params(sd)
+    if component == "lora":
+        # peft adapter_model.bin/.safetensors (reference train_calm.py:471-485,
+        # eval_calm.py:249-252); returns a partial llm subtree
+        return C.convert_peft_adapter(sd)
     raise ValueError(f"unknown torch component {component}")
+
+
+def _find_torch_component_file(directory: str, component: str) -> Optional[str]:
+    """Reference checkpoint layout: `<dir>/<comp>.bin` (train_calm.py:336-358)
+    plus peft's `adapter_model.bin|.safetensors` for LoRA."""
+    names = [f"{component}.bin", f"{component}.pt", f"{component}.safetensors"]
+    if component == "lora":
+        names = ["adapter_model.bin", "adapter_model.safetensors"] + names
+    for n in names:
+        p = os.path.join(directory, n)
+        if os.path.isfile(p):
+            return p
+    return None
 
 
 def soft_restart(params: Dict, paths: Dict[str, Optional[str]]) -> Dict:
     """Overlay pretrained components onto params (stage-2 warm start).
 
     paths: {component: path or None}. A path may be an orbax components
-    directory (ours) or a reference torch `.bin` file (converted on load).
-    Returns updated params dict.
+    directory (ours), a reference torch `.bin` file, or a reference
+    checkpoint directory containing `<comp>.bin` / `adapter_model.bin`
+    (all converted on load). Returns updated params dict.
     """
     from audio_calm_tpu.models.convert import merge_params
 
@@ -172,11 +193,24 @@ def soft_restart(params: Dict, paths: Dict[str, Optional[str]]) -> Dict:
     for comp, path in paths.items():
         if not path:
             continue
+        if os.path.isdir(path):
+            torch_file = _find_torch_component_file(path, comp)
+            # prefer our orbax item when both exist
+            if torch_file and not os.path.isdir(os.path.join(path, comp)):
+                path = torch_file
         if os.path.isfile(path) and path.endswith((".bin", ".pt", ".safetensors")):
-            params[comp] = merge_params(
-                params[comp], load_torch_component(path, comp)
-            )
+            if comp == "lora":
+                # adapter leaves live inside the llm tree, not a top-level node
+                params["llm"] = merge_params(
+                    params["llm"], load_torch_component(path, "lora")
+                )
+            else:
+                params[comp] = merge_params(
+                    params[comp], load_torch_component(path, comp)
+                )
             continue
+        if not os.path.isdir(os.path.join(path, comp)):
+            continue  # nothing stored for this component
         if comp == "lora":
             flat = flatten_dict(params)
             target = {

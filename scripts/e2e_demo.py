@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--steps-vae", type=int, default=400)
     p.add_argument("--steps-calm", type=int, default=600)
     p.add_argument("--write-wavs", default=None, help="dir for generated wavs")
+    p.add_argument("--vocoder", default=None,
+                   help="HiFi-GAN checkpoint path (default Griffin-Lim)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -32,12 +34,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
 
-    matches, total = run_demo(args.steps_vae, args.steps_calm, args.write_wavs)
+    matches, total = run_demo(args.steps_vae, args.steps_calm, args.write_wavs,
+                              vocoder_path=args.vocoder)
     print(f"pitch match: {matches}/{total}")
     return 0 if matches == total else 1
 
 
-def run_demo(steps_vae: int, steps_calm: int, wav_dir=None, seed: int = 0):
+def run_demo(steps_vae: int, steps_calm: int, wav_dir=None, seed: int = 0,
+             vocoder_path=None):
     """-> (matched_words, total_words). Importable for tests."""
     import jax
     import jax.numpy as jnp
@@ -208,10 +212,11 @@ def run_demo(steps_vae: int, steps_calm: int, wav_dir=None, seed: int = 0):
             import os
             import wave as wavelib
 
-            from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+            from audio_calm_tpu.models.vocoder import load_vocoder
 
             os.makedirs(wav_dir, exist_ok=True)
-            wav = np.asarray(GriffinLimVocoder()(jnp.asarray(mel_dn[None])))[0]
+            voc = load_vocoder(vocoder_path)
+            wav = np.asarray(voc(jnp.asarray(mel_dn[None])))[0]
             x16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
             with wavelib.open(os.path.join(wav_dir, f"{w}.wav"), "wb") as f:
                 f.setnchannels(1)

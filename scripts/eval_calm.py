@@ -104,7 +104,7 @@ def main(argv=None):
     if e.task in ("tts", "mix"):
         from audio_calm_tpu.config import VAEModelConfig
         from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, load_vae
-        from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+        from audio_calm_tpu.models.vocoder import load_vocoder
 
         if m.vae_path and os.path.exists(m.vae_path):
             # geometry from the vae_config.json sidecar (or defaults)
@@ -118,7 +118,8 @@ def main(argv=None):
                 {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
                 jnp.zeros((1, 8, 80)), train=False,
             )
-        vocoder = GriffinLimVocoder()
+        vocoder = load_vocoder(e.vocoder_path)
+        print(f"vocoder: {type(vocoder).__name__}")
 
         # optional round-trip ASR judge (reference eval_calm.py:548-552 uses
         # whisper-tiny.en via HF pipeline); gated on weight availability

@@ -24,6 +24,9 @@ def main(argv=None):
                    help="latent dir: decode stored GT latents -> wav "
                         "(invariant 1, run_sanity_checks.py:17-63)")
     p.add_argument("--vae-ckpt", default=None, help="orbax VAE params dir")
+    p.add_argument("--vocoder", default=None,
+                   help="HiFi-GAN checkpoint (file or SpeechBrain dir); "
+                        "default Griffin-Lim")
     p.add_argument("--out-dir", default="outputs/sanity")
     p.add_argument("--max-batches", type=int, default=4)
     p.add_argument("--byte-tokenizer", action="store_true")
@@ -69,7 +72,7 @@ def main(argv=None):
         from audio_calm_tpu.config import VAEModelConfig
         from audio_calm_tpu.data.datasets import load_array
         from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
-        from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+        from audio_calm_tpu.models.vocoder import load_vocoder
 
         files_probe = [
             os.path.join(dp, f)
@@ -110,7 +113,8 @@ def main(argv=None):
             for f in fs
             if f.endswith((".npz", ".npy", ".pt"))
         ][:10]
-        voc = GriffinLimVocoder()
+        voc = load_vocoder(args.vocoder)
+        print(f"[vae upper bound] vocoder: {type(voc).__name__}")
         os.makedirs(args.out_dir, exist_ok=True)
         for i, fp in enumerate(files):
             lat = load_array(fp)[None]

@@ -35,7 +35,7 @@ def build_engine(args):
     from audio_calm_tpu.eval.infer import CALMInference
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
     from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, pad_to_stride
-    from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+    from audio_calm_tpu.models.vocoder import load_vocoder
     from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
     from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
     from audio_calm_tpu.utils.cache import enable_compilation_cache
@@ -71,7 +71,8 @@ def build_engine(args):
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
             jnp.zeros((1, 8, 80)), train=False,
         )
-    vocoder = GriffinLimVocoder()
+    vocoder = load_vocoder(cfg.evaluation.vocoder_path)
+    print(f"[serve] vocoder: {type(vocoder).__name__}", file=sys.stderr)
     frontend = MelFrontend(MelConfig())
     rng_state = [jax.random.PRNGKey(cfg.evaluation.seed)]
 

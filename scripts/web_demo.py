@@ -43,7 +43,7 @@ def main(argv=None):
     from audio_calm_tpu.eval.infer import CALMInference
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
     from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, pad_to_stride
-    from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+    from audio_calm_tpu.models.vocoder import load_vocoder
     from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
     from audio_calm_tpu.config import VAEModelConfig
     from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
@@ -74,7 +74,8 @@ def main(argv=None):
         jnp.zeros((1, 8, 80)), train=False,
     )
     frontend = MelFrontend(MelConfig())
-    vocoder = GriffinLimVocoder()
+    vocoder = load_vocoder(cfg.evaluation.vocoder_path)
+    print(f"vocoder: {type(vocoder).__name__}", file=sys.stderr)
     rng_holder = [jax.random.PRNGKey(0)]
 
     def tts_fn(text, steps, cfg_scale):

@@ -150,6 +150,81 @@ def test_flow_head_parity():
     assert diff < 5e-4, diff
 
 
+def test_legacy_flow_head_parity(tmp_path):
+    """Pre-DiT dilated-ResNet FlowMatchingHead (modeling_calm.py:100-168):
+    independent torch impl -> convert_legacy_flow_head -> parity; also checks
+    load_torch_component auto-detects the legacy .bin layout."""
+    from audio_calm_tpu.models.calm_heads import FlowMatchingHead
+    from audio_calm_tpu.train.checkpoint import load_torch_component
+
+    td, hidden, n_layers, in_dim, out_dim = 16, 32, 3, 12, 8
+
+    class TRes(tnn.Module):
+        def __init__(self, dim, dilation, k=3):
+            super().__init__()
+            self.conv = tnn.Sequential(
+                tnn.SiLU(),
+                tnn.Conv1d(dim, dim, k, padding=dilation, dilation=dilation),
+                tnn.SiLU(),
+                tnn.Conv1d(dim, dim, 1),
+            )
+
+        def forward(self, x):
+            return x + self.conv(x)
+
+    class TLegacy(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.time_mlp = tnn.Sequential(
+                TSinPos(td), tnn.Linear(td, td), tnn.SiLU(), tnn.Linear(td, td)
+            )
+            self.in_proj = tnn.Conv1d(in_dim + out_dim + td, hidden, 3, padding=1)
+            self.layers = tnn.ModuleList(
+                [TRes(hidden, 2**i) for i in range(n_layers)]
+            )
+            self.out_proj = tnn.Sequential(
+                tnn.GroupNorm(8, hidden), tnn.SiLU(),
+                tnn.Conv1d(hidden, out_dim, 3, padding=1),
+            )
+
+        def forward(self, condition, noisy_x, t):
+            if t.dim() == 1:
+                t = t.unsqueeze(1).expand(-1, condition.size(1))
+            t_emb = self.time_mlp(t.reshape(-1)).view(
+                condition.shape[0], condition.shape[1], -1
+            )
+            x = torch.cat([condition, noisy_x, t_emb], dim=-1).transpose(1, 2)
+            x = self.in_proj(x)
+            for layer in self.layers:
+                x = layer(x)
+            return self.out_proj(x).transpose(1, 2)
+
+    torch.manual_seed(0)
+    tm = TLegacy().eval()
+    tnn.init.normal_(tm.out_proj[-1].weight, std=0.1)  # nonzero out
+
+    rng = np.random.default_rng(3)
+    B, T = 2, 9
+    cond = rng.standard_normal((B, T, in_dim)).astype(np.float32)
+    noisy = rng.standard_normal((B, T, out_dim)).astype(np.float32)
+    t = np.array([0.25, 0.7], np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(cond), torch.from_numpy(noisy),
+                 torch.from_numpy(t)).numpy()
+
+    bin_path = tmp_path / "tts_flow_head.bin"
+    torch.save(tm.state_dict(), str(bin_path))
+    params = {"params": load_torch_component(str(bin_path), "tts_flow_head")}
+
+    m = FlowMatchingHead(input_dim=in_dim, output_dim=out_dim,
+                         hidden_dim=hidden, num_layers=n_layers, time_dim=td)
+    ours = np.asarray(
+        m.apply(params, jnp.asarray(cond), jnp.asarray(noisy), jnp.asarray(t))
+    )
+    diff = np.max(np.abs(ours - ref))
+    assert diff < 1e-4, diff
+
+
 def test_input_projector_parity():
     class TCausal(tnn.Module):
         def __init__(self, cin, cout, k=3):

@@ -125,6 +125,78 @@ def test_parity_vs_hf_transformers():
     assert diff < 2e-4, diff
 
 
+def test_peft_adapter_conversion_parity(tmp_path):
+    """Round-trip a real peft LoRA adapter (reference train_calm.py:458-485):
+    HF Qwen2 + peft -> adapter_model.bin -> convert_peft_adapter ->
+    our LoRA'd Qwen2 hidden states match torch to <1e-5-ish fp32 tolerance."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    peft = pytest.importorskip("peft")
+
+    from audio_calm_tpu.models.convert import convert_peft_adapter
+    from audio_calm_tpu.train.checkpoint import soft_restart
+
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads, head_dim=CFG.head_dim,
+        rope_theta=CFG.rope_theta, rms_norm_eps=CFG.rms_norm_eps,
+        tie_word_embeddings=True, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen2ForCausalLM(hf_cfg).eval().float()
+    base_sd = {k: v.numpy() for k, v in hf.model.state_dict().items()}
+
+    lcfg = peft.LoraConfig(
+        r=4, lora_alpha=8,
+        target_modules=["q_proj", "k_proj", "v_proj", "o_proj",
+                        "gate_proj", "up_proj", "down_proj"],
+        lora_dropout=0.0, bias="none", task_type=peft.TaskType.CAUSAL_LM,
+    )
+    pm = peft.get_peft_model(hf, lcfg).eval()
+    # randomize B (peft zero-inits it; a zero adapter would test nothing)
+    with torch.no_grad():
+        for name, p in pm.named_parameters():
+            if "lora_B" in name:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    adapter_sd = peft.get_peft_model_state_dict(pm)
+    torch.save(adapter_sd, str(tmp_path / "adapter_model.bin"))
+
+    ids = np.array([[3, 7, 11, 2, 9, 4]], dtype=np.int64)
+    with torch.no_grad():
+        ref = pm(
+            input_ids=torch.from_numpy(ids), output_hidden_states=True
+        ).hidden_states[-1].numpy()
+
+    # ours: base conversion + soft_restart from the peft adapter file
+    converted = convert_qwen2(base_sd, CFG)
+    lora = LoRAConfig(rank=4, alpha=8, dropout=0.0)
+    model = Qwen2Model(CFG, lora=lora, dtype=jnp.float32)
+    embed = Qwen2Embed(CFG)
+    ep = embed.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    ep = {"params": merge_params(ep["params"], converted["embed"])}
+    x = embed.apply(ep, jnp.asarray(ids))
+    mp = model.init(jax.random.PRNGKey(0), x)["params"]
+    mp = merge_params(mp, converted["model"])
+    # wrap in the CALM-style top-level layout that soft_restart expects
+    tree = soft_restart({"llm": mp}, {"lora": str(tmp_path)})
+    ours = np.asarray(model.apply({"params": tree["llm"]}, x))
+
+    assert np.max(np.abs(ours - ref)) < 2e-4, np.max(np.abs(ours - ref))
+
+    # structural check: every targeted projection got both leaves
+    conv = convert_peft_adapter({k: v.numpy() for k, v in adapter_sd.items()})
+    for li in range(CFG.num_hidden_layers):
+        for mod, projs in (("self_attn", ("q_proj", "k_proj", "v_proj", "o_proj")),
+                           ("mlp", ("gate_proj", "up_proj", "down_proj"))):
+            for proj in projs:
+                leaf = conv[f"layers_{li}"][mod][proj]
+                assert set(leaf) == {"lora_a", "lora_b"}
+
+
 def test_parity_vs_hf_gqa_ratio_6():
     """Flagship uses 12 q heads over 2 kv heads (ratio 6); verify the GQA
     broadcast at that ratio against HF."""

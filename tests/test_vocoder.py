@@ -45,15 +45,13 @@ def test_fold_weight_norm():
     np.testing.assert_allclose(norms, np.abs(g[:, 0, 0]), rtol=1e-5)
 
 
-def test_hifigan_torch_parity():
-    """Build a tiny torch HiFi-GAN generator (independent impl of the
-    published architecture) and compare outputs after conversion."""
-    torch = pytest.importorskip("torch")
+def _build_tiny_torch_gen(cfg):
+    """Tiny torch HiFi-GAN generator (independent impl of the published
+    architecture); returns the eval-mode module."""
+    import torch
     import torch.nn as tnn
     import torch.nn.functional as F
     from torch.nn.utils import weight_norm
-
-    cfg = TINY
 
     class TRes(tnn.Module):
         def __init__(self, ch, k, dil):
@@ -105,7 +103,15 @@ def test_hifigan_torch_parity():
             return torch.tanh(self.conv_post(x))
 
     torch.manual_seed(0)
-    tg = TGen().eval()
+    return TGen().eval()
+
+
+def test_hifigan_torch_parity():
+    """Compare our generator against the torch reference after conversion."""
+    torch = pytest.importorskip("torch")
+
+    cfg = TINY
+    tg = _build_tiny_torch_gen(cfg)
     mel = np.random.default_rng(0).standard_normal((1, 6, cfg.in_channels)).astype(np.float32)
     with torch.no_grad():
         ref = tg(torch.from_numpy(mel.transpose(0, 2, 1)))[:, 0].numpy()
@@ -116,6 +122,54 @@ def test_hifigan_torch_parity():
     ours = np.asarray(gen.apply(params, jnp.asarray(mel)))
     assert ours.shape == ref.shape
     assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_load_vocoder_torch_file(tmp_path):
+    """load_vocoder on a torch .bin selects the HiFi-GAN path (not GL) and
+    matches the torch generator output — the product-path wiring the
+    reference gets from SpeechBrain (eval_calm.py:175-181)."""
+    torch = pytest.importorskip("torch")
+    from audio_calm_tpu.models.vocoder import HiFiGANVocoder, load_vocoder
+
+    tg = _build_tiny_torch_gen(TINY)
+    p = tmp_path / "generator.bin"
+    torch.save(tg.state_dict(), str(p))
+
+    voc = load_vocoder(str(p), TINY)
+    assert isinstance(voc, HiFiGANVocoder)
+
+    mel = np.random.default_rng(1).standard_normal((1, 6, TINY.in_channels)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(mel.transpose(0, 2, 1)))[:, 0].numpy()
+    ours = np.asarray(voc(jnp.asarray(mel)))
+    assert ours.shape == ref.shape
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_load_vocoder_speechbrain_dir(tmp_path):
+    """SpeechBrain-style savedir (generator.ckpt, wrapper-prefixed keys)."""
+    torch = pytest.importorskip("torch")
+    from audio_calm_tpu.models.vocoder import HiFiGANVocoder, load_vocoder
+
+    tg = _build_tiny_torch_gen(TINY)
+    sd = {"generator." + k: v for k, v in tg.state_dict().items()}
+    torch.save(sd, str(tmp_path / "generator.ckpt"))
+
+    voc = load_vocoder(str(tmp_path), TINY)
+    assert isinstance(voc, HiFiGANVocoder)
+    wav = np.asarray(voc(jnp.zeros((1, 5, TINY.in_channels))))
+    assert wav.shape == (1, 5 * TINY.total_upsample)
+    assert np.isfinite(wav).all()
+
+
+def test_load_vocoder_fallback(tmp_path):
+    from audio_calm_tpu.models.vocoder import load_vocoder
+
+    assert isinstance(load_vocoder(None), GriffinLimVocoder)
+    assert isinstance(
+        load_vocoder(str(tmp_path / "missing.bin")), GriffinLimVocoder
+    )
+    assert isinstance(load_vocoder(str(tmp_path)), GriffinLimVocoder)
 
 
 def test_istft_roundtrip():
