@@ -50,7 +50,7 @@ class MetricLogger:
 def run_training(
     step_fn: Callable,
     state: TrainState,
-    batches: Iterable[Dict],
+    batches,
     cfg: TrainingConfig,
     total_steps: int,
     rng: jax.Array,
@@ -65,14 +65,23 @@ def run_training(
     for the tts/asr task routing); otherwise step_fn is used. Host-only batch
     keys (like "task") should be stripped by batch_filter.
 
-    Resume restores model/optimizer/step but does NOT fast-forward the data
-    iterator (equivalent to the reference's ignore_data_skip=True); pass a
-    differently-seeded iterator if exact data order matters.
+    `batches` is either an iterable, or a callable `start_step -> iterable`:
+    the callable form lets a resumed run reseed its data order by the
+    restored step, so the epoch head is not replayed (the reference's HF
+    Trainer default skips consumed batches; a step-folded seed is the
+    shuffle-equivalent for our infinite samplers).
+
+    Best-checkpoint retention: when cfg.load_best_model_at_end, the orbax
+    manager ranks steps by cfg.metric_for_best_model (eval loss when eval_fn
+    runs, else running train loss) and the best surviving checkpoint is
+    restored into the returned state — reference calm_config.yaml:130-137.
     """
     logger = MetricLogger(cfg.output_dir, cfg.run_name, cfg.report_to)
+    track_best = bool(cfg.load_best_model_at_end)
+    metric_name = cfg.metric_for_best_model or "loss"
     manager = make_manager(
         cfg.output_dir, cfg.save_total_limit,
-        best_metric=None,
+        best_metric=metric_name if track_best else None,
     )
 
     # resume (reference trainer.train(resume_from_checkpoint=...),
@@ -99,8 +108,12 @@ def run_training(
                 opt_state=opt_state,
             )
             print(f"resumed from step {step0}")
+    if callable(batches):
+        batches = batches(int(state.step))
     meters: Dict[str, float] = {}
     counts: Dict[str, int] = {}
+    last_tracked: Optional[float] = None  # best-metric value for retention
+    last_train_loss: Optional[float] = None
     t_last = time.perf_counter()
     step_idx = int(state.step)
 
@@ -118,6 +131,8 @@ def run_training(
 
         for k, v in metrics.items():
             v = float(v)
+            if k == "loss":
+                last_train_loss = v
             if v != 0.0 or k in ("loss", "grad_norm"):
                 meters[k] = meters.get(k, 0.0) + v
                 counts[k] = counts.get(k, 0) + 1
@@ -136,11 +151,30 @@ def run_training(
                 logger.log(
                     step_idx, {f"eval_{k}": v for k, v in eval_metrics.items()}
                 )
+                if metric_name in eval_metrics:
+                    last_tracked = float(eval_metrics[metric_name])
 
         if step_idx % cfg.save_steps == 0 or step_idx == total_steps:
+            tracked = last_tracked if last_tracked is not None else last_train_loss
             save_train_state(
-                manager, step_idx, state.trainable, state.opt_state
+                manager, step_idx, state.trainable, state.opt_state,
+                metrics=(
+                    {metric_name: float(tracked)}
+                    if track_best and tracked is not None else None
+                ),
             )
-
     manager.wait_until_finished()
+
+    # load_best_model_at_end (reference calm_config.yaml:135-137)
+    if track_best:
+        best = manager.best_step()
+        if best is not None and best != int(state.step):
+            from audio_calm_tpu.train.checkpoint import restore_train_state
+
+            trainable, opt_state, _ = restore_train_state(
+                manager, state.trainable, state.opt_state, step=best
+            )
+            state = TrainState(step=state.step, trainable=trainable,
+                               opt_state=opt_state)
+            print(f"loaded best checkpoint (step {best})")
     return state

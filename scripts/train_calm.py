@@ -197,11 +197,17 @@ def main(argv=None):
 
     from audio_calm_tpu.data.prefetch import prefetch
 
-    batches = prefetch(calm_batch_iterator(
-        ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
-        task_prob_tts=d.task_prob_tts, training=True, seed=t.seed,
-        audio_buckets=d.audio_buckets,
-    ))
+    def batches(start_step: int):
+        # fold the resume step into the sampler seed so a resumed run does
+        # not replay the epoch head (VERDICT: reference HF default skips
+        # consumed batches; our samplers are infinite, so reseed instead)
+        return prefetch(calm_batch_iterator(
+            ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
+            task_prob_tts=d.task_prob_tts, training=True,
+            seed=t.seed + 1_000_003 * start_step,
+            audio_buckets=d.audio_buckets,
+        ))
+
     state = run_training(
         None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),
         frozen=frozen, step_selector=step_selector, batch_filter=batch_filter,

@@ -106,9 +106,13 @@ def main(argv=None):
 
     from audio_calm_tpu.data.prefetch import prefetch
 
-    batches = prefetch(mel_batch_iterator(
-        train_ds, global_bs, training=True, seed=t.seed
-    ))
+    def batches(start_step: int):
+        # seed folded with the resume step: no epoch-head replay on resume
+        return prefetch(mel_batch_iterator(
+            train_ds, global_bs, training=True,
+            seed=t.seed + 1_000_003 * start_step,
+        ))
+
     state = run_training(step, state, batches, t, total_steps,
                          jax.random.PRNGKey(t.seed), eval_fn=eval_fn)
 
