@@ -78,6 +78,8 @@ def calm_batch_iterator(
     seed: int = 0,
     epochs: Optional[int] = None,
     audio_buckets: Optional[List[int]] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield task-homogeneous static batches, dropping ragged tails.
 
@@ -88,10 +90,32 @@ def calm_batch_iterator(
     With audio_buckets (ascending lengths), each batch pads its audio to the
     smallest bucket that fits its longest example — one jit compile per
     (task, bucket) shape instead of always paying max_audio_len.
+
+    Multi-host: with process_count > 1, `batch_size` is the GLOBAL batch;
+    every process draws the identical order/task stream (same seed) but
+    loads ONLY its batch_size/process_count rows (process_index slice).
+    To keep the streams lock-stepped without cross-host agreement, corrupt
+    items become zero-filled stubs instead of being backfilled (the
+    reference's dummy-batch behavior), and audio_buckets are ignored (bucket
+    choice would depend on rows other processes hold). Assemble yielded
+    shards into global arrays with parallel.mesh.shard_host_batch.
     """
+    if process_count > 1:
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes"
+            )
+        audio_buckets = None
     if audio_buckets:
         audio_buckets = sorted(audio_buckets)
+    # order/task draws come from `rng` and are identical on every process;
+    # SpecAugment uses a separate per-process stream so augmentation cannot
+    # desynchronize the shared order stream
     rng = np.random.default_rng(seed)
+    aug_rng = np.random.default_rng((seed, process_index))
+    per = batch_size // process_count
+    lo, hi = process_index * per, (process_index + 1) * per
     epoch = 0
     while epochs is None or epoch < epochs:
         orders = {}
@@ -115,14 +139,30 @@ def calm_batch_iterator(
                 task = "tts"
             else:
                 task = "asr"
-            examples = []
-            while len(examples) < batch_size and cursors[task] < len(orders[task]):
-                ex = dataset.get(task, orders[task][cursors[task]])
-                cursors[task] += 1
-                if ex is not None:
+            if process_count > 1:
+                idxs = orders[task][cursors[task] : cursors[task] + batch_size]
+                cursors[task] += batch_size
+                examples = []
+                for j in idxs[lo:hi]:
+                    ex = dataset.get(task, j)
+                    if ex is None:  # zero stub keeps processes lock-stepped
+                        ex = CalmExample(
+                            input_ids=np.asarray([pad_token_id], np.int32),
+                            labels=np.asarray([-100], np.int32),
+                            audio=np.zeros((1, latent_dim), np.float32),
+                            mode=task,
+                        )
                     examples.append(ex)
-            if len(examples) < batch_size:
-                break
+            else:
+                examples = []
+                while (len(examples) < batch_size
+                       and cursors[task] < len(orders[task])):
+                    ex = dataset.get(task, orders[task][cursors[task]])
+                    cursors[task] += 1
+                    if ex is not None:
+                        examples.append(ex)
+                if len(examples) < batch_size:
+                    break
             t_aud = dataset.max_audio_len
             if audio_buckets:
                 longest = max(len(ex.audio) for ex in examples)
@@ -132,7 +172,7 @@ def calm_batch_iterator(
                 )
             batch = collate_calm(
                 examples, pad_token_id, dataset.max_text_len,
-                t_aud, latent_dim, training=training, rng=rng,
+                t_aud, latent_dim, training=training, rng=aug_rng,
             )
             batch["task"] = task  # host-side routing key (not a device array)
             yield batch
@@ -147,19 +187,37 @@ def mel_batch_iterator(
     training: bool = True,
     seed: int = 0,
     epochs: Optional[int] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    """Multi-host: batch_size is GLOBAL; each process yields its
+    batch_size/process_count slice (same order stream; failed loads become
+    zero mels so processes stay lock-stepped)."""
+    if process_count > 1 and batch_size % process_count:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {process_count}"
+        )
     rng = np.random.default_rng(seed)
+    crop_rng = np.random.default_rng((seed, process_index))
+    per = batch_size // process_count
+    lo, hi = process_index * per, (process_index + 1) * per
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(len(dataset))
         for i in range(0, len(order) - batch_size + 1, batch_size):
             mels = []
-            for j in order[i : i + batch_size]:
+            for j in order[i : i + batch_size][lo:hi]:
                 try:
-                    mels.append(dataset.get(int(j), rng if training else None))
+                    mels.append(
+                        dataset.get(int(j), crop_rng if training else None)
+                    )
                 except Exception:
+                    if process_count > 1:
+                        mels.append(
+                            np.zeros((dataset.crop_size, 80), np.float32)
+                        )
                     continue
-            if len(mels) < batch_size:
+            if len(mels) < (hi - lo):
                 continue
             yield {"mel": np.stack(mels)}
         epoch += 1

@@ -20,6 +20,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed_from_env() -> None:
+    """jax.distributed.initialize with explicit env fallbacks.
+
+    Argless initialize() only autodetects managed clusters (SLURM / TPU pod
+    metadata). For hand-launched multi-host runs (the reference's torchrun
+    analogue), read JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID and pass them explicitly.
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr and os.environ.get("JAX_NUM_PROCESSES"):
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    else:
+        jax.distributed.initialize()
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
@@ -42,6 +63,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_host_batch(batch, mesh: Mesh):
+    """Assemble per-process batch shards into global jax.Arrays sharded on
+    the "data" axis (multi-host data path; single-process it is equivalent
+    to a device_put onto the batch sharding).
+
+    Each process passes ONLY its local rows (global_batch/process_count);
+    jax.make_array_from_process_local_data stitches them into one global
+    array without any cross-host transfer — the TPU-native replacement for
+    the reference's per-rank DistributedSampler + NCCL DDP feed.
+    """
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def zero_leaf_spec(mesh: Mesh, leaf, min_size: int = 2**14) -> NamedSharding:

@@ -20,8 +20,10 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--distributed", action="store_true",
-                   help="multi-host: jax.distributed.initialize() from env "
-                        "(COORDINATOR_ADDRESS etc.) before device discovery")
+                   help="multi-host: jax.distributed.initialize from env "
+                        "(JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID); "
+                        "all processes must share training.output_dir "
+                        "(orbax coordinates checkpoint writes)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--byte-tokenizer", action="store_true",
                    help="use the byte fallback tokenizer (smoke tests)")
@@ -30,7 +32,9 @@ def main(argv=None):
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()  # reads JAX_COORDINATOR_ADDRESS etc.
+        from audio_calm_tpu.parallel.mesh import init_distributed_from_env
+
+        init_distributed_from_env()  # JAX_COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
@@ -145,11 +149,18 @@ def main(argv=None):
     def step_selector(batch):
         return steps[batch["task"]]
 
+    n_proc = jax.process_count()
+
     def batch_filter(batch):
-        out = {k: jnp.asarray(v) for k, v in batch.items() if k != "task"}
+        out = {k: v for k, v in batch.items() if k != "task"}
         if batch["task"] == "tts":
             out.pop("labels", None)
-        return out
+        if n_proc > 1:
+            # per-process shards -> global arrays on the data axis
+            from audio_calm_tpu.parallel.mesh import shard_host_batch
+
+            return shard_host_batch(out, mesh)
+        return {k: jnp.asarray(v) for k, v in out.items()}
 
     # periodic eval over the held-out latent store (reference eval_steps)
     eval_fn = None
@@ -179,10 +190,12 @@ def main(argv=None):
 
             def eval_fn(state):
                 losses = []
+                eval_bs = min(global_bs, 8 * n_proc)
                 it = calm_batch_iterator(
-                    eval_ds, min(global_bs, 8), tokenizer.pad_token_id or 0,
+                    eval_ds, eval_bs, tokenizer.pad_token_id or 0,
                     m.latent_dim, task_prob_tts=d.task_prob_tts,
                     training=False, seed=0, epochs=1,
+                    process_index=jax.process_index(), process_count=n_proc,
                 )
                 for i, b in enumerate(it):
                     if i >= 8:
@@ -206,6 +219,7 @@ def main(argv=None):
             task_prob_tts=d.task_prob_tts, training=True,
             seed=t.seed + 1_000_003 * start_step,
             audio_buckets=d.audio_buckets,
+            process_index=jax.process_index(), process_count=n_proc,
         ))
 
     state = run_training(

@@ -16,8 +16,10 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap steps (overrides epochs)")
     p.add_argument("--distributed", action="store_true",
-                   help="multi-host: jax.distributed.initialize() from env "
-                        "(COORDINATOR_ADDRESS etc.) before device discovery")
+                   help="multi-host: jax.distributed.initialize from env "
+                        "(JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID); "
+                        "all processes must share training.output_dir "
+                        "(orbax coordinates checkpoint writes)")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (8 virtual devices)")
     args = p.parse_args(argv)
@@ -25,7 +27,9 @@ def main(argv=None):
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()  # reads JAX_COORDINATOR_ADDRESS etc.
+        from audio_calm_tpu.parallel.mesh import init_distributed_from_env
+
+        init_distributed_from_env()  # JAX_COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
@@ -106,15 +110,25 @@ def main(argv=None):
 
     from audio_calm_tpu.data.prefetch import prefetch
 
+    n_proc = jax.process_count()
+
     def batches(start_step: int):
         # seed folded with the resume step: no epoch-head replay on resume
         return prefetch(mel_batch_iterator(
             train_ds, global_bs, training=True,
             seed=t.seed + 1_000_003 * start_step,
+            process_index=jax.process_index(), process_count=n_proc,
         ))
 
+    batch_filter = None
+    if n_proc > 1:
+        from audio_calm_tpu.parallel.mesh import shard_host_batch
+
+        batch_filter = lambda b: shard_host_batch(b, mesh)  # noqa: E731
+
     state = run_training(step, state, batches, t, total_steps,
-                         jax.random.PRNGKey(t.seed), eval_fn=eval_fn)
+                         jax.random.PRNGKey(t.seed), eval_fn=eval_fn,
+                         batch_filter=batch_filter)
 
     # export final params in the {"params": ...} layout every consumer of
     # --vae_ckpt expects (process_dataset latent extraction, eval_vae,

@@ -1,0 +1,100 @@
+"""2-process jax.distributed data path (VERDICT r1 item 6).
+
+Spawns two real processes over a localhost coordinator; each loads only its
+shard of every global batch and assembles global arrays with
+shard_host_batch. The rank-0 loss after 3 sharded steps must match a
+single-process run of the identical global stream."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _make_dataset(root):
+    d = os.path.join(root, "dev")
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        np.savez(os.path.join(d, f"m{i}.npz"),
+                 mel=rng.standard_normal((20, 80)).astype(np.float32) - 6.0)
+    return root
+
+
+def _single_process_reference(data_dir):
+    from audio_calm_tpu.config import TrainingConfig, VAEModelConfig
+    from audio_calm_tpu.data.collator import mel_batch_iterator
+    from audio_calm_tpu.data.datasets import MelDataset
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.parallel.mesh import make_mesh, shard_host_batch
+    from audio_calm_tpu.train.optim import (
+        make_optimizer, partition_params, vae_param_label,
+    )
+    from audio_calm_tpu.train.steps import (
+        init_train_state, make_vae_step, shard_step,
+    )
+
+    ds = MelDataset(data_dir, "dev", crop_size=16, training=False)
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    cfg = VAEModelConfig(hidden_channels=16, latent_channels=4,
+                         norm_num_groups=4, ssim_weight=0.0,
+                         stft_loss_weight=0.0)
+    model = AcousticVAE(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 80)), train=False,
+    )["params"]
+    trainable, _ = partition_params(params, vae_param_label)
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    tx = make_optimizer(tcfg, trainable, vae_param_label, 10)
+    state = init_train_state(trainable, tx)
+    step, state, _ = shard_step(make_vae_step(model, tx), mesh, state)
+    loss = None
+    it = mel_batch_iterator(ds, 4, training=False, seed=0)
+    for i, b in enumerate(it):
+        if i >= 3:
+            break
+        state, metrics = step(state, shard_host_batch(b, mesh),
+                              jax.random.PRNGKey(0))
+        loss = float(metrics["loss"])
+    return loss
+
+
+def test_two_process_distributed_data_path(tmp_path):
+    data_dir = _make_dataset(str(tmp_path / "mels"))
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out_file = str(tmp_path / "rank0_loss.txt")
+    worker = os.path.join(TESTS_DIR, "mp_worker_vae.py")
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", data_dir, out_file],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+
+    mp_loss = float(open(out_file).read())
+    ref_loss = _single_process_reference(data_dir)
+    assert abs(mp_loss - ref_loss) < 1e-4, (mp_loss, ref_loss)
