@@ -263,6 +263,9 @@ class TrainingConfig:
     per_device_train_batch_size: int = 16
     per_device_eval_batch_size: int = 1
     gradient_accumulation_steps: int = 1
+    # in-step microbatching: lax.scan grad accumulation inside ONE jitted
+    # step (peak-HBM lever for the 481-token ASR backbone; 1 = off)
+    microbatch_steps: int = 1
     learning_rate: float = 5e-5
     num_train_epochs: float = 3.0
     max_steps: int = -1
@@ -302,6 +305,10 @@ class EvaluationConfig:
     # HiFi-GAN checkpoint (torch .bin/.ckpt file or SpeechBrain dir);
     # None -> Griffin-Lim fallback (reference eval_calm.py:169-208)
     vocoder_path: Optional[str] = None
+    # inference ODE grid buckets (ascending latent-frame counts): run the
+    # flow on the smallest bucket that fits the predicted length instead of
+    # always paying max_audio_len; None -> single max-grid program
+    audio_buckets: Optional[List[int]] = None
     steps: int = 50
     cfg_scale: float = 2.5
     asr_steps: int = 20

@@ -31,26 +31,19 @@ ASR_PROMPT = (
 EOS_CANDIDATES = (151643, 151645)
 
 
-def tts_generate_latents(
+def tts_encode(
     model: QwenCALM,
     params,
     text_ids: jnp.ndarray,  # [B, T_txt]
     attention_mask: jnp.ndarray,  # [B, T_txt]
-    rng: jax.Array,
-    steps: int = 50,
-    cfg_scale: float = 2.5,
-    t_aud: int = 384,
-    num_frames_override: Optional[int] = None,
-    method: str = "euler",
-    time_schedule: str = "uniform",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """text -> (denormalized latents [B, t_aud, latent_dim], num_frames [B]).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Phase 1: LLM encode + length prediction.
 
-    Frames >= num_frames[b] are padding; slice before VAE decode or mask.
-    num_frames_override pins the generated length (used by benchmarks where
-    an untrained length predictor would be meaningless); the predictor still
-    runs so its cost is always included.
-    """
+    -> (cond_vec, text_ctx, text_pad, num_frames [B] int32). Splitting here
+    lets the host pick a bucketed ODE grid from num_frames before phase 2
+    (one compile per bucket instead of always paying max_audio_len — the
+    static-shape answer to the reference's fully dynamic num_frames,
+    eval_calm.py:449-460)."""
     cond_vec, text_ctx, text_pad = model.apply(
         params, text_ids, attention_mask, False,
         method=QwenCALM.encode_text_for_tts,
@@ -58,10 +51,28 @@ def tts_generate_latents(
     num_frames_f = model.apply(
         params, text_ctx, text_pad, method=QwenCALM.predict_length
     )
-    num_frames = num_frames_f.astype(jnp.int32)
-    if num_frames_override is not None:
-        num_frames = jnp.full_like(num_frames, num_frames_override)
+    return cond_vec, text_ctx, text_pad, num_frames_f.astype(jnp.int32)
 
+
+def tts_decode(
+    model: QwenCALM,
+    params,
+    cond_vec: jnp.ndarray,
+    text_ctx: jnp.ndarray,
+    text_pad: jnp.ndarray,
+    num_frames: jnp.ndarray,  # [B] int32 (will be clipped to t_aud)
+    rng: jax.Array,
+    steps: int = 50,
+    cfg_scale: float = 2.5,
+    t_aud: int = 384,
+    method: str = "euler",
+    time_schedule: str = "uniform",
+) -> jnp.ndarray:
+    """Phase 2: durations -> alignment -> CFG flow ODE on a [B, t_aud] grid.
+
+    -> denormalized latents [B, t_aud, latent_dim]; frames >= num_frames[b]
+    are padding."""
+    num_frames = jnp.minimum(num_frames, t_aud)
     dur_scaled = model.apply(
         params, text_ctx, text_pad, num_frames, method=QwenCALM.predict_durations
     )
@@ -79,7 +90,7 @@ def tts_generate_latents(
     frame_valid = jnp.arange(t_aud)[None, :] < num_frames[:, None]
     condition = condition * frame_valid[:, :, None].astype(condition.dtype)
 
-    B = text_ids.shape[0]
+    B = cond_vec.shape[0]
     x_init = jax.random.normal(
         rng, (B, t_aud, model.cfg.latent_dim), condition.dtype
     )
@@ -94,8 +105,40 @@ def tts_generate_latents(
         context=text_ctx, context_mask=text_pad, x_mask=~frame_valid,
         method=method, time_schedule=time_schedule,
     )
-    latents = model.apply(params, x, method=QwenCALM.denormalize_latents)
-    return latents, num_frames
+    return model.apply(params, x, method=QwenCALM.denormalize_latents)
+
+
+def tts_generate_latents(
+    model: QwenCALM,
+    params,
+    text_ids: jnp.ndarray,  # [B, T_txt]
+    attention_mask: jnp.ndarray,  # [B, T_txt]
+    rng: jax.Array,
+    steps: int = 50,
+    cfg_scale: float = 2.5,
+    t_aud: int = 384,
+    num_frames_override: Optional[int] = None,
+    method: str = "euler",
+    time_schedule: str = "uniform",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot text -> (denormalized latents [B, t_aud, latent_dim],
+    num_frames [B]) — tts_encode + tts_decode fused into one program.
+
+    num_frames_override pins the generated length (used by benchmarks where
+    an untrained length predictor would be meaningless); the predictor still
+    runs so its cost is always included.
+    """
+    cond_vec, text_ctx, text_pad, num_frames = tts_encode(
+        model, params, text_ids, attention_mask
+    )
+    if num_frames_override is not None:
+        num_frames = jnp.full_like(num_frames, num_frames_override)
+    latents = tts_decode(
+        model, params, cond_vec, text_ctx, text_pad, num_frames, rng,
+        steps=steps, cfg_scale=cfg_scale, t_aud=t_aud, method=method,
+        time_schedule=time_schedule,
+    )
+    return latents, jnp.minimum(num_frames, t_aud)
 
 
 def asr_generate_ids(
@@ -153,18 +196,33 @@ def truncate_at_eos(
 
 
 class CALMInference:
-    """Convenience host-side wrapper binding model + params + tokenizer."""
+    """Convenience host-side wrapper binding model + params + tokenizer.
+
+    audio_buckets (ascending frame counts, e.g. [96, 192, 384]): the flow
+    ODE runs on the smallest bucket grid that fits the predicted length —
+    a short utterance stops paying max_audio_len compute (one extra compile
+    per bucket). Without buckets, everything is one fused program on the
+    max grid.
+    """
 
     def __init__(self, model: QwenCALM, params, tokenizer=None,
-                 max_audio_len: Optional[int] = None):
+                 max_audio_len: Optional[int] = None,
+                 audio_buckets: Optional[list] = None):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.max_audio_len = max_audio_len or model.cfg.max_audio_len
+        self.audio_buckets = sorted(audio_buckets) if audio_buckets else None
         # jit once per static (steps, cfg_scale, grid) combination; the model
         # is closed over (its config holds lists, so it cannot be a static arg)
         self._tts_jit = jax.jit(
             functools.partial(tts_generate_latents, model),
+            static_argnames=("steps", "cfg_scale", "t_aud", "method",
+                             "time_schedule"),
+        )
+        self._tts_encode_jit = jax.jit(functools.partial(tts_encode, model))
+        self._tts_decode_jit = jax.jit(
+            functools.partial(tts_decode, model),
             static_argnames=("steps", "cfg_scale", "t_aud", "method",
                              "time_schedule"),
         )
@@ -177,12 +235,32 @@ class CALMInference:
         ids = self.tokenizer.encode(text, add_special_tokens=False)
         return np.asarray(ids, np.int32)
 
+    def pick_bucket(self, n_frames: int) -> int:
+        n_frames = min(n_frames, self.max_audio_len)
+        for b in self.audio_buckets or ():
+            if b >= n_frames:
+                return min(b, self.max_audio_len)
+        return self.max_audio_len
+
     def tts(self, text: str, rng: jax.Array, steps: int = 50,
             cfg_scale: float = 2.5, method: str = "euler",
             time_schedule: str = "uniform") -> Tuple[np.ndarray, int]:
         """-> (latents [T_frames, latent_dim], num_frames)."""
         ids = self._encode_prompt(TTS_PROMPT.format(text))[None]
         mask = np.ones_like(ids)
+        if self.audio_buckets:
+            cond_vec, text_ctx, text_pad, num_frames = self._tts_encode_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(mask)
+            )
+            n = int(num_frames[0])  # host sync picks the grid
+            t_aud = self.pick_bucket(n)
+            latents = self._tts_decode_jit(
+                self.params, cond_vec, text_ctx, text_pad, num_frames, rng,
+                steps=steps, cfg_scale=cfg_scale, t_aud=t_aud,
+                method=method, time_schedule=time_schedule,
+            )
+            n = min(n, t_aud)
+            return np.asarray(latents[0, :n]), n
         latents, num_frames = self._tts_jit(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
             rng, steps=steps, cfg_scale=cfg_scale, t_aud=self.max_audio_len,

@@ -7,15 +7,26 @@ VAE decode (128ch -> 80 mel, 4x upsample), HiFi-GAN vocoding to 16 kHz —
 on the real chip, and reports the realtime factor (seconds of audio
 produced per wall-clock second).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": "tts_realtime_factor", "value": N, "unit": "x_realtime",
    "vs_baseline": N / 10.0}
 vs_baseline is against the BASELINE.md north-star target of 10x realtime
 per chip (the reference publishes no numbers of its own — SURVEY.md §6).
+
+Supplementary honest-serving metrics go to stderr as JSON lines
+(VERDICT r1 item 3):
+  - realistic ~8 s utterance on a bucketed 192-frame grid (the full-grid
+    headline is the best case; short utterances pay padding)
+  - per-run spread (min/mean of the timed iterations)
+  - pipeline FLOPs + MFU vs the v5e bf16 peak (197 TFLOP/s)
+
+Env knobs: BENCH_BATCH=N (aggregate serving), BENCH_REALISTIC=0 (skip the
+second program; saves its compile), BENCH_ITERS=N.
 """
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -23,32 +34,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def log2(obj):
+    print(json.dumps(obj), file=sys.stderr, flush=True)
+
 
 def main():
     from audio_calm_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    import os
-
-    t_aud = 384  # latent frames == 24.576 s of 16 kHz audio at hop 256 x4
     steps = 50
     cfg_scale = 2.5
     # headline is single-stream (B=1); BENCH_BATCH=N measures aggregate
     # serving throughput instead
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    realistic = os.environ.get("BENCH_REALISTIC", "1") != "0"
     sample_rate = 16000
     hop = 256
     stride = 4
+    sec_per_frame = stride * hop / sample_rate  # 0.064 s of audio per latent
 
     from audio_calm_tpu.config import VAEModelConfig
     from audio_calm_tpu.eval.infer import tts_generate_latents
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
-    from audio_calm_tpu.models.flagship import flagship_config
+    from audio_calm_tpu.models.flagship import (
+        cast_floating, device_random_params, flagship_config,
+    )
     from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
     from audio_calm_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
-
-    from audio_calm_tpu.models.flagship import cast_floating, device_random_params
 
     calm = QwenCALM(flagship_config(), dtype=jnp.bfloat16)
     vae = AcousticVAE(VAEModelConfig())
@@ -93,40 +110,81 @@ def main():
     )
     attn = jnp.ones_like(text_ids)
 
-    @functools.partial(jax.jit, static_argnames=("steps", "cfg_scale"))
-    def pipeline(calm_params, vae_params, voc_params, rng, steps, cfg_scale):
-        latents, num_frames = tts_generate_latents(
-            calm, calm_params, text_ids, attn, rng,
-            steps=steps, cfg_scale=cfg_scale, t_aud=t_aud,
-            num_frames_override=t_aud,  # untrained len-pred; fixed-length bench
-        )
-        mel_n = vae.apply(vae_params, latents.astype(jnp.float32),
-                          method=AcousticVAE.decode)
-        mel = denormalize_mel(mel_n, vae.cfg)
-        wav = voc.apply(voc_params, mel)
-        return wav
+    def make_pipeline(t_aud: int, num_frames: int):
+        @functools.partial(jax.jit, static_argnames=("steps", "cfg_scale"))
+        def pipeline(calm_params, vae_params, voc_params, rng, steps,
+                     cfg_scale):
+            latents, _ = tts_generate_latents(
+                calm, calm_params, text_ids, attn, rng,
+                steps=steps, cfg_scale=cfg_scale, t_aud=t_aud,
+                num_frames_override=num_frames,  # untrained len-pred
+            )
+            mel_n = vae.apply(vae_params, latents.astype(jnp.float32),
+                              method=AcousticVAE.decode)
+            mel = denormalize_mel(mel_n, vae.cfg)
+            wav = voc.apply(voc_params, mel)
+            return wav
 
-    rng = jax.random.PRNGKey(0)
-    # warmup / compile. NOTE: through the axon tunnel block_until_ready does
-    # NOT reliably wait for execution — a device->host readback of the
-    # result is the only trustworthy completion barrier, so every timed
-    # iteration ends with np.asarray(wav).
-    np.asarray(pipeline(calm_params, vae_params, voc_params, rng, steps,
-                        cfg_scale))
-    np.asarray(pipeline(calm_params, vae_params, voc_params,
-                        jax.random.fold_in(rng, 99), steps, cfg_scale))
+        return pipeline
 
-    n_iters = 5
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        wav = np.asarray(
-            pipeline(calm_params, vae_params, voc_params,
-                     jax.random.fold_in(rng, i), steps, cfg_scale)
-        )
-    wall = (time.perf_counter() - t0) / n_iters
+    def measure(t_aud: int, num_frames: int, label: str):
+        """-> dict with wall mean/min, rtf (vs real audio produced), flops."""
+        pipe = make_pipeline(t_aud, num_frames)
+        args = (calm_params, vae_params, voc_params)
+        rng = jax.random.PRNGKey(0)
+        # warmup / compile. NOTE: through the axon tunnel block_until_ready
+        # does NOT reliably wait — a device->host readback of the result is
+        # the only trustworthy completion barrier, so every timed iteration
+        # ends with np.asarray(wav).
+        np.asarray(pipe(*args, rng, steps, cfg_scale))
+        np.asarray(pipe(*args, jax.random.fold_in(rng, 99), steps, cfg_scale))
+        times = []
+        for i in range(n_iters):
+            t0 = time.perf_counter()
+            np.asarray(pipe(*args, jax.random.fold_in(rng, i), steps,
+                            cfg_scale))
+            times.append(time.perf_counter() - t0)
+        wall_mean = float(np.mean(times))
+        wall_min = float(np.min(times))
+        audio_seconds = batch * num_frames * sec_per_frame
+        flops = -1.0
+        try:
+            cost = pipe.lower(*args, rng, steps=steps, cfg_scale=cfg_scale
+                              ).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", -1))
+        except Exception as ex:  # cost analysis can be unavailable via axon
+            log2({"metric": f"{label}_flops_error", "error": str(ex)[:120]})
+        out = {
+            "label": label,
+            "t_aud_grid": t_aud,
+            "audio_seconds": round(audio_seconds, 3),
+            "wall_mean_s": round(wall_mean, 4),
+            "wall_min_s": round(wall_min, 4),
+            "spread_pct": round(100 * (max(times) - min(times)) / wall_mean, 1),
+            "rtf_mean": round(audio_seconds / wall_mean, 1),
+            "rtf_min_wall": round(audio_seconds / wall_min, 1),
+        }
+        if flops > 0:
+            out["pipeline_tflops"] = round(flops / 1e12, 2)
+            out["mfu_pct"] = round(
+                100 * flops / wall_mean / V5E_BF16_PEAK_FLOPS, 1
+            )
+        return out
 
-    audio_seconds = batch * t_aud * stride * hop / sample_rate
-    rtf = audio_seconds / wall
+    # headline: full 384-frame grid (24.58 s of audio, the best case)
+    head = measure(384, 384, "full_grid_384")
+    log2(head)
+
+    if realistic:
+        # honest serving shape: ~8 s utterance (125 frames) on the smallest
+        # shipped bucket that fits (192); the grid padding is paid, the
+        # padding audio is NOT credited
+        real = measure(192, 125, "realistic_8s_bucket_192")
+        log2(real)
+
+    rtf = head["rtf_mean"]
     print(
         json.dumps(
             {

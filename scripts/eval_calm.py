@@ -75,7 +75,8 @@ def main(argv=None):
         )
         print(f"loaded components from {comp_dir}")
 
-    inf = CALMInference(model, {"params": params}, tokenizer)
+    inf = CALMInference(model, {"params": params}, tokenizer,
+                        audio_buckets=e.audio_buckets)
     rng = jax.random.PRNGKey(e.seed)
 
     if e.task in ("asr", "mix"):

@@ -58,7 +58,8 @@ def build_engine(args):
         params = soft_restart(
             params, {c: args.components for c in COMPONENTS + ("lora",)}
         )
-    inf = CALMInference(model, {"params": params}, tokenizer)
+    inf = CALMInference(model, {"params": params}, tokenizer,
+                        audio_buckets=cfg.evaluation.audio_buckets)
 
     vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
     if m.vae_path:

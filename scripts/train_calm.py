@@ -142,7 +142,9 @@ def main(argv=None):
     for task in ("tts", "asr"):
         if d.task_mode in (task, "mix"):
             fn, state, frozen = shard_step(
-                make_calm_step(model, tx, task), mesh, state, frozen
+                make_calm_step(model, tx, task,
+                               microbatch=t.microbatch_steps),
+                mesh, state, frozen,
             )
             steps[task] = fn
 

@@ -107,3 +107,43 @@ def test_metrics():
     assert cer(refs, refs) == 0.0
     assert wer(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
     assert wer(["a b"], [""]) == 1.0
+
+
+def test_tts_two_phase_matches_fused(tiny):
+    """tts_encode + tts_decode at the max grid == the fused one-shot path
+    (same rng, same grid -> identical latents)."""
+    from audio_calm_tpu.eval.infer import tts_decode, tts_encode
+
+    model, params = tiny
+    text_ids = jnp.asarray([[3, 5, 7, 9, 0, 0]])
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]])
+    rng = jax.random.PRNGKey(7)
+    fused, nf = tts_generate_latents(
+        model, params, text_ids, mask, rng, steps=3, cfg_scale=2.0, t_aud=32
+    )
+    cv, ctx, pad, n = tts_encode(model, params, text_ids, mask)
+    two = tts_decode(model, params, cv, ctx, pad, n, rng,
+                     steps=3, cfg_scale=2.0, t_aud=32)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
+                               rtol=1e-5, atol=1e-5)
+    assert int(jnp.minimum(n, 32)[0]) == int(nf[0])
+
+
+def test_bucketed_inference_picks_small_grid(tiny):
+    """CALMInference with audio_buckets runs the ODE on the smallest grid
+    that fits the predicted length (VERDICT r1 item 3)."""
+    from audio_calm_tpu.data.tokenizer import ByteTokenizer
+
+    model, params = tiny
+    inf = CALMInference(model, params, ByteTokenizer(),
+                        audio_buckets=[8, 16, 32])
+    assert inf.pick_bucket(5) == 8
+    assert inf.pick_bucket(9) == 16
+    assert inf.pick_bucket(17) == 32
+    assert inf.pick_bucket(999) == 32  # clamped to max_audio_len
+
+    lat, n = inf.tts("hey", jax.random.PRNGKey(0), steps=2, cfg_scale=1.5)
+    assert lat.shape == (n, 8) and n <= 32
+    assert np.isfinite(lat).all()
+    # decode jit compiled for exactly one bucket grid
+    assert inf._tts_decode_jit._cache_size() == 1
