@@ -90,9 +90,12 @@ def sdpa(
 
 def _use_pallas_attention(q_shape, k_shape) -> bool:
     """Measured on v5e (CLAUDE.md): at this framework's geometries
-    (T <= ~500, d <= 128) XLA's fused attention outruns the per-head Pallas
-    kernel (93 vs 125 ms for the flagship ODE), so XLA is the default and
-    Pallas is opt-in via AUDIO_CALM_ATTN=pallas for larger regimes."""
+    (T <= ~500, d <= 128) XLA's fused attention outruns the Pallas kernels
+    on BOTH shipped hot paths — flagship ODE inference (93 vs 125 ms) and
+    the 481-token ASR train step incl. the flash custom_vjp backward
+    (375 vs 520 ms at B=8, microbatch 4). Final round-2 verdict: XLA fusion
+    owns all shipped geometries; Pallas stays a tested opt-in
+    (AUDIO_CALM_ATTN=pallas) for longer-sequence regimes."""
     import os
 
     from audio_calm_tpu.ops.pallas_attention import attention_available
@@ -135,9 +138,11 @@ class Qwen2Attention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         if key_valid is not None and _use_pallas_attention(q.shape, k.shape):
-            from audio_calm_tpu.ops.pallas_attention import fused_attention
+            # flash_attention carries a Pallas backward (custom_vjp), so the
+            # opt-in also covers training (the 481-token ASR backbone)
+            from audio_calm_tpu.ops.pallas_attention import flash_attention
 
-            out = fused_attention(q, k, v, key_valid=key_valid, causal=True)
+            out = flash_attention(q, k, v, key_valid, True)
         else:
             out = sdpa(q, k, v, mask)
         out = out.reshape(B, T, c.num_attention_heads * hd)

@@ -201,6 +201,169 @@ def fused_attention_batched(
     return out.transpose(0, 2, 1, 3)
 
 
+# ---------------------------------------------------------------------------
+# Trainable fused attention: custom_vjp with a full-tile Pallas backward
+# ---------------------------------------------------------------------------
+def _flash_bwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, causal: bool, scale: float,
+                      group: int):
+    """Backward for one (batch, kv-head) pair; the `group` query heads
+    sharing this kv head are looped in-kernel so dK/dV accumulate locally.
+
+    Full-tile recompute (no saved probabilities): at this framework's
+    sequence budget the [T, S] score tile lives entirely in VMEM, so the
+    backward re-runs the two forward matmuls instead of round-tripping
+    P/LSE through HBM — the flash-attention trade applied at full tile.
+    """
+    k = k_ref[0, 0, :, :]  # [S, d]
+    v = v_ref[0, 0, :, :]
+    T = q_ref.shape[2]
+    S = k.shape[0]
+
+    mask = (valid_ref[0, 0, :] > 0)[None, :]
+    mask = jnp.broadcast_to(mask, (T, S))
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        mask = mask & (col <= row + (S - T))
+
+    dk = jnp.zeros((S, k.shape[1]), jnp.float32)
+    dv = jnp.zeros((S, v.shape[1]), jnp.float32)
+    for g in range(group):  # static unroll; group <= 8 here
+        q = q_ref[0, g, :, :]
+        do = do_ref[0, g, :, :].astype(jnp.float32)
+        o = o_ref[0, g, :, :].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(mask, scores, NEG)
+        p = jax.nn.softmax(scores, axis=-1)  # [T, S] fp32
+
+        # dV += P^T dO
+        dv = dv + jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T ; softmax jacobian via delta = rowsum(dO * O)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [T, 1]
+        ds = p * (dp - delta)  # [T, S] fp32
+        dq_ref[0, g, :, :] = (
+            jax.lax.dot_general(
+                ds, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        ).astype(dq_ref.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _flash_fwd(q, k, v, key_valid, causal, interpret):
+    out = fused_attention_batched(
+        q, k, v, key_valid=key_valid, causal=causal, interpret=interpret
+    )
+    return out, (q, k, v, key_valid, out)
+
+
+def _flash_bwd(causal, interpret, res, dout):
+    q, k, v, key_valid, out = res
+    B, T, Hq, d = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    if key_valid is None:
+        valid = jnp.ones((B, S), jnp.int32)[:, None, :]
+    else:
+        valid = key_valid.astype(jnp.int32)[:, None, :]
+
+    q_t = q.transpose(0, 2, 1, 3)
+    k_t = k.transpose(0, 2, 1, 3)
+    v_t = v.transpose(0, 2, 1, 3)
+    o_t = out.transpose(0, 2, 1, 3)
+    do_t = dout.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(
+        _flash_bwd_kernel, causal=causal, scale=1.0 / (d**0.5), group=group
+    )
+    dq_t, dk_t, dv_t = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, T, d), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, d), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, d), v.dtype),
+        ),
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, T, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, T, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, T, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, T, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * Hq * T * S * d,
+            bytes_accessed=(
+                4 * B * Hq * T * d * 4 + 4 * B * Hkv * S * d * 4
+            ),
+            transcendentals=B * Hq * T * S,
+        ),
+    )(valid, q_t, k_t, v_t, o_t, do_t)
+
+    dq = dq_t.transpose(0, 2, 1, 3)
+    dk = dk_t.transpose(0, 2, 1, 3)
+    dv = dv_t.transpose(0, 2, 1, 3)
+    import numpy as _np
+
+    d_valid = (
+        None if key_valid is None
+        else _np.zeros(key_valid.shape, jax.dtypes.float0)
+    )
+    return dq, dk, dv, d_valid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention(q, k, v, key_valid=None, causal=False,
+                    interpret=False):
+    """Differentiable fused attention (training path).
+
+    Forward = fused_attention_batched; backward = a full-tile recompute
+    Pallas kernel (one program per (batch, kv-head), query-head group looped
+    in-kernel). Same [B, T, H, d] layout and GQA semantics as
+    fused_attention."""
+    return fused_attention_batched(
+        q, k, v, key_valid=key_valid, causal=causal, interpret=interpret
+    )
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
 def attention_available(q_shape, k_shape) -> bool:
     """Conservative gate: Pallas path for TPU-friendly geometries."""
     B, T, Hq, d = q_shape

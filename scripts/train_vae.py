@@ -94,14 +94,28 @@ def main(argv=None):
                 return out["loss"]
 
             eval_bs = min(t.per_device_eval_batch_size, len(eval_ds))
+            n_proc_eval = jax.process_count()
+            if n_proc_eval > 1:
+                # global arrays shard over the full data axis
+                n_data = mesh.shape["data"]
+                eval_bs = max(eval_bs - eval_bs % n_data, n_data)
 
             def eval_fn(state):
                 losses = []
                 for b in mel_batch_iterator(
                     eval_ds, eval_bs, training=False, epochs=1,
+                    process_index=jax.process_index(),
+                    process_count=n_proc_eval,
                 ):
-                    losses.append(float(eval_loss(state.trainable,
-                                                  jnp.asarray(b["mel"]))))
+                    if n_proc_eval > 1:
+                        from audio_calm_tpu.parallel.mesh import (
+                            shard_host_batch,
+                        )
+
+                        mel = shard_host_batch(b, mesh)["mel"]
+                    else:
+                        mel = jnp.asarray(b["mel"])
+                    losses.append(float(eval_loss(state.trainable, mel)))
                     if len(losses) >= 16:
                         break
                 if not losses:

@@ -77,3 +77,63 @@ def test_fused_attention_batched_matches_xla():
     ref = _ref(q, k, v, key_valid=key_valid, causal=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_flash_attention_grads_match_xla(causal, gqa):
+    """custom_vjp backward kernel vs autodiff through the XLA reference
+    (interpret mode): dq/dk/dv all match."""
+    from audio_calm_tpu.ops.pallas_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    B, T, Hq, d = 2, 16, 4, 32
+    Hkv = Hq // gqa
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, d)), jnp.float32)
+    key_valid = jnp.asarray(
+        np.arange(T)[None, :] < np.array([[12], [16]]), jnp.int32
+    )
+    w = jnp.asarray(rng.standard_normal((B, T, Hq, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, key_valid, causal, True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, key_valid=key_valid, causal=causal) * w)
+
+    o1 = loss_flash(q, k, v)
+    o2 = loss_ref(q, k, v)
+    np.testing.assert_allclose(float(o1), float(o2), rtol=1e-4)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_attention_grads_cross_len():
+    """T != S (self-attn is square here, but keep the kernel honest)."""
+    from audio_calm_tpu.ops.pallas_attention import flash_attention
+
+    rng = np.random.default_rng(4)
+    B, T, S, H, d = 1, 8, 24, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, d)), jnp.float32)
+
+    def f(fn):
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    g1 = f(lambda q, k, v: flash_attention(q, k, v, None, False, True))
+    g2 = f(lambda q, k, v: _ref(q, k, v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -99,7 +99,11 @@ def calm_setup():
         batch["audio_mask"], batch["labels"], train=False,
         method=QwenCALM.forward_asr,
     )["params"]
-    params = {**p_asr, **p_tts}
+    # numpy leaves: the steps donate their state buffers, and module-scoped
+    # jax arrays could alias them (device_put is a no-op for an array that
+    # already matches the target sharding) — later tests would then see
+    # deleted buffers
+    params = jax.tree_util.tree_map(np.asarray, {**p_asr, **p_tts})
     return model, params, batch
 
 
