@@ -365,11 +365,17 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def attention_available(q_shape, k_shape) -> bool:
-    """Conservative gate: Pallas path for TPU-friendly geometries."""
+    """Conservative gate: Pallas path for TPU-friendly geometries.
+
+    These are FULL-TILE kernels (whole [T, S] score matrix in VMEM):
+    measured on v5e, T=S=512 compiles and runs (the fwd+bwd op beats XLA
+    in isolation there) while T>=1024 exceeds VMEM at compile. A tiled
+    online-softmax flash would be needed past 512; the framework's
+    sequence budget (<= 481) never gets there, so 512 is the gate."""
     B, T, Hq, d = q_shape
     S = k_shape[1]
     if d % 32 != 0 or d > 256:
         return False
-    if T > 2048 or S > 2048:
-        return False  # beyond the fused-tile regime; XLA path handles it
+    if T > 512 or S > 512:
+        return False  # full-tile VMEM limit; XLA path handles longer
     return True

@@ -59,6 +59,9 @@ def test_availability_gate():
     assert attention_available((1, 96, 16, 96), (1, 96, 16, 96))  # d=96 ok
     assert not attention_available((1, 16, 4, 80), (1, 16, 4, 80))  # d%32
     assert not attention_available((1, 4096, 4, 64), (1, 4096, 4, 64))
+    # full-tile VMEM limit measured on v5e: 512 ok, 1024 fails to compile
+    assert attention_available((1, 512, 4, 64), (1, 512, 4, 64))
+    assert not attention_available((1, 1024, 4, 64), (1, 1024, 4, 64))
 
 
 def test_fused_attention_batched_matches_xla():
