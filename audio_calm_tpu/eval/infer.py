@@ -244,8 +244,15 @@ class CALMInference:
 
     def tts(self, text: str, rng: jax.Array, steps: int = 50,
             cfg_scale: float = 2.5, method: str = "euler",
-            time_schedule: str = "uniform") -> Tuple[np.ndarray, int]:
-        """-> (latents [T_frames, latent_dim], num_frames)."""
+            time_schedule: str = "uniform",
+            pad_to_grid: bool = False) -> Tuple[np.ndarray, int]:
+        """-> (latents [T, latent_dim], num_frames).
+
+        pad_to_grid=False slices to num_frames (simple, but every unique
+        length is a fresh downstream compile); pad_to_grid=True returns the
+        full static grid (bucket size) so the VAE/vocoder stage keeps one
+        compiled program per bucket — pair with eval.render.make_renderer.
+        """
         ids = self._encode_prompt(TTS_PROMPT.format(text))[None]
         mask = np.ones_like(ids)
         if self.audio_buckets:
@@ -260,13 +267,16 @@ class CALMInference:
                 method=method, time_schedule=time_schedule,
             )
             n = min(n, t_aud)
-            return np.asarray(latents[0, :n]), n
-        latents, num_frames = self._tts_jit(
-            self.params, jnp.asarray(ids), jnp.asarray(mask),
-            rng, steps=steps, cfg_scale=cfg_scale, t_aud=self.max_audio_len,
-            method=method, time_schedule=time_schedule,
-        )
-        n = int(num_frames[0])
+        else:
+            latents, num_frames = self._tts_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                rng, steps=steps, cfg_scale=cfg_scale,
+                t_aud=self.max_audio_len,
+                method=method, time_schedule=time_schedule,
+            )
+            n = int(num_frames[0])
+        if pad_to_grid:
+            return np.asarray(latents[0]), n
         return np.asarray(latents[0, :n]), n
 
     def asr(self, latents: np.ndarray, rng: jax.Array, steps: int = 20,

@@ -1,0 +1,59 @@
+"""Latent -> waveform rendering: VAE decode + denorm + vocoder in ONE jit.
+
+The eval/serve scripts used to call `vae.apply(...)` / `vocoder(...)` on
+host-sliced variable-length latents: through the axon tunnel that is one
+dispatch per op, and every unique utterance length is a fresh XLA
+compile. The renderer instead takes GRID-PADDED latents (one static shape
+per inference bucket), fuses decode + mel denormalization (+ HiFi-GAN when
+that is the vocoder) into a single jitted program, and slices the valid
+audio on the host — mirroring how bench.py runs the same pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
+from audio_calm_tpu.models.vocoder import GriffinLimVocoder, HiFiGANVocoder
+
+# samples of 16 kHz audio per latent frame: VAE 4x time upsample * hop 256
+SAMPLES_PER_FRAME = 4 * 256
+
+
+def make_renderer(
+    vae: AcousticVAE, vae_params, vae_cfg, vocoder
+) -> Callable[[np.ndarray, int], np.ndarray]:
+    """-> render(latents [T_grid, D], n_frames) -> wav float32 [n_samples].
+
+    latents must be padded to a (bucketed) grid; one compile per grid
+    shape. Works with HiFiGANVocoder (fully fused) and GriffinLimVocoder
+    (decode fused, GL's own jitted program chained).
+    """
+    hifi = isinstance(vocoder, HiFiGANVocoder)
+
+    @jax.jit
+    def decode(latents):  # [1, T_grid, D] -> mel [1, 4*T_grid, 80]
+        mel_n = vae.apply(vae_params, latents, method=AcousticVAE.decode)
+        return denormalize_mel(mel_n, vae_cfg)
+
+    if hifi:
+        gen, gen_params = vocoder.generator, vocoder.params
+
+        @jax.jit
+        def pipeline(latents):
+            return gen.apply(gen_params, decode(latents))
+
+    def render(latents: np.ndarray, n_frames: int) -> np.ndarray:
+        x = jnp.asarray(np.asarray(latents, np.float32))[None]
+        if hifi:
+            wav = pipeline(x)
+        else:
+            wav = vocoder(decode(x))
+        n = int(n_frames) * SAMPLES_PER_FRAME
+        return np.asarray(wav)[0][:n]
+
+    return render

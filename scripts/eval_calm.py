@@ -104,7 +104,7 @@ def main(argv=None):
 
     if e.task in ("tts", "mix"):
         from audio_calm_tpu.config import VAEModelConfig
-        from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, load_vae
+        from audio_calm_tpu.models.vae import AcousticVAE, load_vae
         from audio_calm_tpu.models.vocoder import load_vocoder
 
         if m.vae_path and os.path.exists(m.vae_path):
@@ -121,6 +121,9 @@ def main(argv=None):
             )
         vocoder = load_vocoder(e.vocoder_path)
         print(f"vocoder: {type(vocoder).__name__}")
+        from audio_calm_tpu.eval.render import make_renderer
+
+        render = make_renderer(vae, vae_params, vae_cfg, vocoder)
 
         # optional round-trip ASR judge (reference eval_calm.py:548-552 uses
         # whisper-tiny.en via HF pipeline); gated on weight availability
@@ -146,11 +149,9 @@ def main(argv=None):
             latents, n = inf.tts(item["text"], jax.random.fold_in(rng, 1000 + i),
                                  steps=e.steps, cfg_scale=e.cfg_scale,
                                  method=e.ode_method,
-                                 time_schedule=e.time_schedule)
-            mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
-                              method=AcousticVAE.decode)
-            mel = denormalize_mel(mel_n, vae_cfg)
-            wav = np.asarray(vocoder(mel))[0]
+                                 time_schedule=e.time_schedule,
+                                 pad_to_grid=True)
+            wav = render(latents, n)
             _write_wav(os.path.join(wav_dir, f"tts_{i:04d}.wav"), wav)
             if judge is not None:
                 hyp = judge({"array": wav, "sampling_rate": 16000})["text"]

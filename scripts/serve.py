@@ -34,7 +34,7 @@ def build_engine(args):
     from audio_calm_tpu.config import CALMConfig, MelConfig, VAEModelConfig, load_config
     from audio_calm_tpu.eval.infer import CALMInference
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
-    from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, pad_to_stride
+    from audio_calm_tpu.models.vae import AcousticVAE, pad_to_stride
     from audio_calm_tpu.models.vocoder import load_vocoder
     from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
     from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
@@ -74,6 +74,9 @@ def build_engine(args):
         )
     vocoder = load_vocoder(cfg.evaluation.vocoder_path)
     print(f"[serve] vocoder: {type(vocoder).__name__}", file=sys.stderr)
+    from audio_calm_tpu.eval.render import make_renderer
+
+    render = make_renderer(vae, vae_params, vae_cfg, vocoder)
     frontend = MelFrontend(MelConfig())
     rng_state = [jax.random.PRNGKey(cfg.evaluation.seed)]
 
@@ -81,11 +84,9 @@ def build_engine(args):
         rng_state[0], k = jax.random.split(rng_state[0])
         latents, n = inf.tts(text, k, steps=steps, cfg_scale=cfg_scale,
                              method=cfg.evaluation.ode_method,
-                             time_schedule=cfg.evaluation.time_schedule)
-        mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
-                          method=AcousticVAE.decode)
-        wav = np.asarray(vocoder(denormalize_mel(mel_n, vae_cfg)))[0]
-        return np.clip(wav, -1, 1)
+                             time_schedule=cfg.evaluation.time_schedule,
+                             pad_to_grid=True)
+        return np.clip(render(latents, n), -1, 1)
 
     def asr(wav_f32, steps):
         w = process_audio_chunk(jnp.asarray(wav_f32))

@@ -42,7 +42,7 @@ def main(argv=None):
     from audio_calm_tpu.config import CALMConfig, MelConfig, load_config
     from audio_calm_tpu.eval.infer import CALMInference
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
-    from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel, pad_to_stride
+    from audio_calm_tpu.models.vae import AcousticVAE, pad_to_stride
     from audio_calm_tpu.models.vocoder import load_vocoder
     from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
     from audio_calm_tpu.config import VAEModelConfig
@@ -77,14 +77,16 @@ def main(argv=None):
     frontend = MelFrontend(MelConfig())
     vocoder = load_vocoder(cfg.evaluation.vocoder_path)
     print(f"vocoder: {type(vocoder).__name__}", file=sys.stderr)
+    from audio_calm_tpu.eval.render import make_renderer
+
+    render = make_renderer(vae, vae_params, vae_cfg, vocoder)
     rng_holder = [jax.random.PRNGKey(0)]
 
     def tts_fn(text, steps, cfg_scale):
         rng_holder[0], k = jax.random.split(rng_holder[0])
-        latents, n = inf.tts(text, k, steps=int(steps), cfg_scale=float(cfg_scale))
-        mel_n = vae.apply(vae_params, jnp.asarray(latents[None]),
-                          method=AcousticVAE.decode)
-        wav = np.asarray(vocoder(denormalize_mel(mel_n, vae_cfg)))[0]
+        latents, n = inf.tts(text, k, steps=int(steps),
+                             cfg_scale=float(cfg_scale), pad_to_grid=True)
+        wav = render(latents, n)
         return 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
 
     def asr_fn(audio, steps):
