@@ -212,3 +212,68 @@ def test_griffin_lim_vocoder_end_to_end():
     Y = np.abs(np.fft.rfft(wav[0] * np.hanning(wav.shape[1])))
     peak = np.argmax(Y) * sr / wav.shape[1]
     assert abs(peak - 330) < 15, peak
+
+
+def test_make_renderer_matches_manual_path():
+    """Fused renderer == manual decode -> denorm -> vocoder -> slice."""
+    import jax
+
+    from audio_calm_tpu.config import VAEModelConfig
+    from audio_calm_tpu.eval.render import SAMPLES_PER_FRAME, make_renderer
+    from audio_calm_tpu.models.vae import AcousticVAE, denormalize_mel
+
+    cfg = VAEModelConfig(hidden_channels=16, latent_channels=4,
+                         norm_num_groups=4)
+    vae = AcousticVAE(cfg)
+    params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    voc = GriffinLimVocoder(n_iter=4)
+    render = make_renderer(vae, params, cfg, voc)
+
+    lat = np.random.default_rng(0).standard_normal((16, 4)).astype(np.float32)
+    n = 10
+    wav = render(lat, n)
+    assert wav.shape[0] <= n * SAMPLES_PER_FRAME
+    assert np.isfinite(wav).all()
+
+    mel = denormalize_mel(
+        vae.apply(params, jnp.asarray(lat)[None], method=AcousticVAE.decode),
+        cfg,
+    )
+    manual = np.asarray(voc(mel))[0][: n * SAMPLES_PER_FRAME]
+    np.testing.assert_allclose(wav, manual[: len(wav)], atol=1e-5)
+
+
+def test_make_renderer_hifigan_path():
+    import jax
+
+    from audio_calm_tpu.config import VAEModelConfig
+    from audio_calm_tpu.eval.render import SAMPLES_PER_FRAME, make_renderer
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.models.vocoder import HiFiGANVocoder
+
+    # tiny hifigan with total upsample 16 != 1024: renderer still slices by
+    # latent frames (mel 4x * hop) — use the real ratio config instead
+    cfg_v = HiFiGANConfig(in_channels=80, upsample_initial_channel=16,
+                          upsample_rates=(8, 8, 2, 2),
+                          upsample_kernel_sizes=(16, 16, 4, 4),
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilations=((1, 2),))
+    gen = HiFiGANGenerator(cfg_v)
+    p = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 80)))
+    voc = HiFiGANVocoder(p["params"], cfg_v)
+
+    vcfg = VAEModelConfig(hidden_channels=16, latent_channels=4,
+                          norm_num_groups=4)
+    vae = AcousticVAE(vcfg)
+    vp = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    render = make_renderer(vae, vp, vcfg, voc)
+    lat = np.zeros((8, 4), np.float32)
+    wav = render(lat, 5)
+    assert wav.shape == (5 * SAMPLES_PER_FRAME,)
+    assert np.isfinite(wav).all()
