@@ -92,6 +92,11 @@ def fused_attention(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hq, T, d), q.dtype),
         grid=grid,
+        # batch/head programs are independent -> schedulable across both
+        # v5e megacores (without this the whole grid can serialize on one)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -177,6 +182,9 @@ def fused_attention_batched(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hq, T, d), q.dtype),
         grid=(B,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -303,6 +311,9 @@ def _flash_bwd(causal, interpret, res, dout):
             jax.ShapeDtypeStruct((B, Hkv, S, d), v.dtype),
         ),
         grid=(B, Hkv),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
