@@ -293,14 +293,24 @@ class CorpusProcessor:
         for bucket in list(pending):
             flush(bucket)
 
-        # write accumulated transcripts (reference process_dataset.py:182-213)
+        # write accumulated transcripts (reference process_dataset.py:182-213),
+        # MERGED with any entries already on disk so sharded jobs
+        # (--num_shards) and skip-existing re-runs compose instead of
+        # clobbering each other's lines
         for out_dir, entries in transcripts.items():
             os.makedirs(out_dir, exist_ok=True)
             name = os.path.basename(out_dir.rstrip("/")) or "corpus"
-            with open(
-                os.path.join(out_dir, f"{name}.trans.txt"), "w", encoding="utf-8"
-            ) as f:
-                for fid, text in sorted(entries.items()):
+            path = os.path.join(out_dir, f"{name}.trans.txt")
+            merged: Dict[str, str] = {}
+            if os.path.exists(path):
+                with open(path, encoding="utf-8") as f:
+                    for line in f:
+                        parts = line.rstrip("\n").split(" ", 1)
+                        if len(parts) == 2:
+                            merged[parts[0]] = parts[1]
+            merged.update(entries)
+            with open(path, "w", encoding="utf-8") as f:
+                for fid, text in sorted(merged.items()):
                     f.write(f"{fid} {text}\n")
         return stats
 

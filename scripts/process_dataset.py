@@ -33,8 +33,16 @@ def main(argv=None):
     p.add_argument("--stats", help="compute mean/std over stored arrays in dir")
     p.add_argument("--stats_key", default="mel", choices=["mel", "latent"])
     p.add_argument("--per_dim", action="store_true")
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="split the corpus across N independent jobs "
+                        "(reference scales via workers x GPUs, "
+                        "process_dataset.py:256-277; here one process per "
+                        "chip/host, each taking files[shard_id::num_shards])")
+    p.add_argument("--shard_id", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
+    if not (0 <= args.shard_id < args.num_shards):
+        p.error("--shard_id must be in [0, num_shards)")
 
     import jax
 
@@ -103,6 +111,9 @@ def main(argv=None):
 
     files = scan_audio_files(args.input_dir)
     print(f"found {len(files)} audio files")
+    if args.num_shards > 1:
+        files = files[args.shard_id :: args.num_shards]
+        print(f"shard {args.shard_id}/{args.num_shards}: {len(files)} files")
     proc = CorpusProcessor(
         vae_apply=vae_apply, total_stride=total_stride,
         batch_size=args.batch_size,

@@ -256,3 +256,37 @@ def test_bucketed_batches(corpus, tmp_path):
         assert b["audio_mask"].shape[1] == b["latents"].shape[1]
     # corpus has 1-3s files (~16-48 mel frames): multiple buckets used
     assert len(shapes) >= 2 and shapes <= {24, 48, 64}
+
+
+def test_sharded_corpus_processing_merges_transcripts(corpus, tmp_path):
+    """Two independent shard jobs (files[i::2]) into the same output store:
+    npz union complete, .trans.txt merged (not clobbered) — the multi-job
+    scale-out path (process_dataset --num_shards)."""
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels_sharded")
+    files = scan_audio_files(in_root)
+    proc = CorpusProcessor(batch_size=2)
+    for shard in (0, 1):
+        st = proc.process_corpus(
+            files[shard::2], out_root, in_root, text_resolver=librispeech_text
+        )
+        assert st.failed == 0
+    outs = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_root)
+        for f in fs
+        if f.endswith(".npz")
+    ]
+    assert len(outs) == 5
+    trans = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_root)
+        for f in fs
+        if f.endswith(".trans.txt")
+    ]
+    assert len(trans) == 1
+    lines = open(trans[0]).read().splitlines()
+    assert len(lines) == 5, lines
+    assert sorted(line.split(" ", 1)[0] for line in lines) == sorted(
+        f"1-2-{i:04d}" for i in range(5)
+    )
