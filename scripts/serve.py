@@ -18,8 +18,9 @@ import argparse
 import io
 import json
 import sys
+import threading
 import wave
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def build_engine(args):
@@ -134,6 +135,9 @@ def main(argv=None):
 
     tts, asr, cfg = build_engine(args)
     e = cfg.evaluation
+    # threaded server so /health and slow clients don't block each other;
+    # device work itself is serialized (one chip, one engine)
+    device_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):
@@ -161,8 +165,9 @@ def main(argv=None):
                     text = req.get("text", "")
                     if not text:
                         return self._json(400, {"error": "missing 'text'"})
-                    wav = tts(text, int(req.get("steps", e.steps)),
-                              float(req.get("cfg_scale", e.cfg_scale)))
+                    with device_lock:
+                        wav = tts(text, int(req.get("steps", e.steps)),
+                                  float(req.get("cfg_scale", e.cfg_scale)))
                     data = wav_bytes(wav)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
@@ -175,12 +180,14 @@ def main(argv=None):
                         x = parse_wav(body)
                     except Exception:
                         return self._json(400, {"error": "body must be WAV"})
-                    return self._json(200, {"text": asr(x, e.asr_steps)})
+                    with device_lock:
+                        text = asr(x, e.asr_steps)
+                    return self._json(200, {"text": text})
                 return self._json(404, {"error": "unknown path"})
             except Exception as ex:  # surface, don't crash the server
                 return self._json(500, {"error": str(ex)})
 
-    srv = HTTPServer(("0.0.0.0", args.port), Handler)
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"serving on :{args.port} (tts steps={e.steps} cfg={e.cfg_scale})")
     srv.serve_forever()
 
