@@ -184,6 +184,48 @@ def main():
         real = measure(192, 125, "realistic_8s_bucket_192")
         log2(real)
 
+    if os.environ.get("BENCH_ASR", "0") != "0":
+        # ASR serving: latents -> token ids (LLM encode of the 481-token
+        # [audio|SOA|prompt] pack + 20-step ODE in LLM-embedding space +
+        # nearest-token matmul over the 151k vocab); RTF = seconds of audio
+        # transcribed per wall second (reference protocol: 20 steps, CFG 1)
+        from audio_calm_tpu.eval.infer import asr_generate_ids
+
+        t_aud = 384
+        latents = jnp.asarray(
+            np.random.default_rng(1).standard_normal((batch, t_aud, 128)),
+            jnp.float32,
+        )
+        amask = jnp.ones((batch, t_aud), jnp.int32)
+        prompt = jnp.asarray(
+            np.random.default_rng(2).integers(10, 5000, (batch, 12)), jnp.int32
+        )
+
+        @functools.partial(jax.jit, static_argnames=("steps", "cfg_scale"))
+        def asr_pipe(params, rng, steps, cfg_scale):
+            ids, _ = asr_generate_ids(
+                calm, params, latents, amask, prompt, jnp.ones_like(prompt),
+                rng, steps=steps, cfg_scale=cfg_scale, num_queries=96,
+            )
+            return ids
+
+        rng = jax.random.PRNGKey(0)
+        np.asarray(asr_pipe(calm_params, rng, 20, 1.0))
+        times = []
+        for i in range(n_iters):
+            t0 = time.perf_counter()
+            np.asarray(asr_pipe(calm_params, jax.random.fold_in(rng, i),
+                                20, 1.0))
+            times.append(time.perf_counter() - t0)
+        wall = float(np.mean(times))
+        audio_s = batch * t_aud * sec_per_frame
+        log2({
+            "label": "asr_transcribe_384f",
+            "audio_seconds": round(audio_s, 2),
+            "wall_mean_s": round(wall, 4),
+            "rtf_mean": round(audio_s / wall, 1),
+        })
+
     rtf = head["rtf_mean"]
     print(
         json.dumps(
