@@ -309,6 +309,12 @@ class EvaluationConfig:
     # flow on the smallest bucket that fits the predicted length instead of
     # always paying max_audio_len; None -> single max-grid program
     audio_buckets: Optional[List[int]] = None
+    # prompt-token buckets (ascending): pad prompts to the smallest bucket so
+    # arbitrary text reuses a few compiled encode programs instead of one per
+    # unique prompt length; None -> reference-exact unpadded prompts
+    text_buckets: Optional[List[int]] = None
+    # long-form TTS: chunk boundaries are equal-power crossfaded (ms)
+    crossfade_ms: float = 20.0
     steps: int = 50
     cfg_scale: float = 2.5
     asr_steps: int = 20

@@ -182,6 +182,87 @@ def asr_generate_ids(
     return ids, q_len
 
 
+def split_text_for_tts(
+    text: str,
+    tokenizer,
+    max_tokens: int,
+    prompt_template: str = TTS_PROMPT,
+) -> list:
+    """Split long text into TTS-able chunks (beyond reference: the reference
+    hard-truncates at max_text_len, train_calm.py:145-146).
+
+    Sentences (split at .!?;: boundaries) are greedily packed so that the
+    FULL prompt (template + chunk) stays within `max_tokens`; a single
+    over-budget sentence is hard-split on whitespace. Returns a non-empty
+    list of chunk strings whose concatenation covers the input text.
+    """
+    import re
+
+    overhead = len(tokenizer.encode(prompt_template.format(""),
+                                    add_special_tokens=False))
+    budget = max(max_tokens - overhead, 1)
+
+    def n_tok(s: str) -> int:
+        return len(tokenizer.encode(s, add_special_tokens=False))
+
+    # sentence split, keeping delimiters attached
+    parts = [p for p in re.split(r"(?<=[.!?;:])\s+", text.strip()) if p]
+    if not parts:
+        return [text]
+
+    # hard-split any single sentence that exceeds the budget
+    units: list = []
+    for p in parts:
+        if n_tok(p) <= budget:
+            units.append(p)
+            continue
+        words = p.split()
+        cur = ""
+        for w in words:
+            cand = (cur + " " + w).strip()
+            if cur and n_tok(cand) > budget:
+                units.append(cur)
+                cur = w
+            else:
+                cur = cand
+        if cur:
+            units.append(cur)
+
+    chunks: list = []
+    cur = ""
+    for u in units:
+        cand = (cur + " " + u).strip()
+        if cur and n_tok(cand) > budget:
+            chunks.append(cur)
+            cur = u
+        else:
+            cur = cand
+    if cur:
+        chunks.append(cur)
+    return chunks or [text]
+
+
+def crossfade_concat(wavs: list, sample_rate: int = 16000,
+                     crossfade_ms: float = 20.0) -> np.ndarray:
+    """Concatenate waveform chunks with an equal-power crossfade at each
+    boundary (click-free long-form synthesis)."""
+    wavs = [np.asarray(w, np.float32) for w in wavs if len(w)]
+    if not wavs:
+        return np.zeros((0,), np.float32)
+    out = wavs[0]
+    for w in wavs[1:]:
+        f = int(sample_rate * crossfade_ms / 1000.0)
+        f = min(f, len(out), len(w))
+        if f == 0:
+            out = np.concatenate([out, w])
+            continue
+        t = np.linspace(0.0, np.pi / 2.0, f, dtype=np.float32)
+        fade_out, fade_in = np.cos(t), np.sin(t)
+        mixed = out[-f:] * fade_out + w[:f] * fade_in
+        out = np.concatenate([out[:-f], mixed, w[f:]])
+    return out
+
+
 def truncate_at_eos(
     ids: np.ndarray, q_len: int, extra_eos: Optional[set] = None
 ) -> list:
@@ -203,16 +284,28 @@ class CALMInference:
     a short utterance stops paying max_audio_len compute (one extra compile
     per bucket). Without buckets, everything is one fused program on the
     max grid.
+
+    text_buckets (ascending prompt token counts, e.g. [32, 64, 96]): prompts
+    are right-padded (pad id + zero attention mask) to the smallest bucket
+    that fits, so arbitrary input text reuses a handful of compiled encode
+    programs instead of one per unique prompt length. None (default) keeps
+    the reference-exact unpadded prompt: note the reference itself places
+    the SOA token after batch padding in training but after the raw prompt
+    at inference (train_calm.py pad_sequence vs eval_calm.py:424-440), so
+    bucketed padding matches the TRAINING placement; numerics differ from
+    unpadded inference only via the SOA position's RoPE phase.
     """
 
     def __init__(self, model: QwenCALM, params, tokenizer=None,
                  max_audio_len: Optional[int] = None,
-                 audio_buckets: Optional[list] = None):
+                 audio_buckets: Optional[list] = None,
+                 text_buckets: Optional[list] = None):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.max_audio_len = max_audio_len or model.cfg.max_audio_len
         self.audio_buckets = sorted(audio_buckets) if audio_buckets else None
+        self.text_buckets = sorted(text_buckets) if text_buckets else None
         # jit once per static (steps, cfg_scale, grid) combination; the model
         # is closed over (its config holds lists, so it cannot be a static arg)
         self._tts_jit = jax.jit(
@@ -235,6 +328,23 @@ class CALMInference:
         ids = self.tokenizer.encode(text, add_special_tokens=False)
         return np.asarray(ids, np.int32)
 
+    def _prompt_arrays(self, text: str):
+        """-> (ids [1, L], mask [1, L]); L is bucket-padded when
+        text_buckets is set (pad id 0 / mask 0, truncate past the largest
+        bucket — mirroring the dataset's max_text_len truncation)."""
+        ids = self._encode_prompt(text)
+        if not self.text_buckets:
+            return ids[None], np.ones_like(ids)[None]
+        L = len(ids)
+        bucket = next((b for b in self.text_buckets if b >= L),
+                      self.text_buckets[-1])
+        ids = ids[:bucket]
+        pad_id = getattr(self.tokenizer, "pad_token_id", None) or 0
+        out = np.full((bucket,), pad_id, np.int32)
+        out[: len(ids)] = ids
+        mask = (np.arange(bucket) < len(ids)).astype(np.int32)
+        return out[None], mask[None]
+
     def pick_bucket(self, n_frames: int) -> int:
         n_frames = min(n_frames, self.max_audio_len)
         for b in self.audio_buckets or ():
@@ -253,8 +363,7 @@ class CALMInference:
         full static grid (bucket size) so the VAE/vocoder stage keeps one
         compiled program per bucket — pair with eval.render.make_renderer.
         """
-        ids = self._encode_prompt(TTS_PROMPT.format(text))[None]
-        mask = np.ones_like(ids)
+        ids, mask = self._prompt_arrays(TTS_PROMPT.format(text))
         if self.audio_buckets:
             cond_vec, text_ctx, text_pad, num_frames = self._tts_encode_jit(
                 self.params, jnp.asarray(ids), jnp.asarray(mask)
@@ -278,6 +387,29 @@ class CALMInference:
         if pad_to_grid:
             return np.asarray(latents[0]), n
         return np.asarray(latents[0, :n]), n
+
+    def tts_long(self, text: str, rng: jax.Array, render,
+                 steps: int = 50, cfg_scale: float = 2.5,
+                 method: str = "euler", time_schedule: str = "uniform",
+                 crossfade_ms: float = 20.0,
+                 max_chunk_tokens: Optional[int] = None) -> np.ndarray:
+        """Long-form text -> waveform: sentence-pack into prompt-budget
+        chunks, synthesize each on the bucketed grids, render, and
+        equal-power-crossfade the chunk boundaries. `render` is an
+        eval.render.make_renderer callable. Short text degenerates to a
+        single tts() call. (Beyond reference: it truncates at max_text_len.)
+        """
+        budget = max_chunk_tokens or self.model.cfg.max_text_len
+        chunks = split_text_for_tts(text, self.tokenizer, budget)
+        wavs = []
+        for chunk in chunks:
+            rng, k = jax.random.split(rng)
+            latents, n = self.tts(
+                chunk, k, steps=steps, cfg_scale=cfg_scale, method=method,
+                time_schedule=time_schedule, pad_to_grid=True,
+            )
+            wavs.append(render(latents, n))
+        return crossfade_concat(wavs, crossfade_ms=crossfade_ms)
 
     def asr(self, latents: np.ndarray, rng: jax.Array, steps: int = 20,
             cfg_scale: float = 1.0) -> str:

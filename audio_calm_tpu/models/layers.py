@@ -56,10 +56,21 @@ class Conv1d(nn.Module):
 class ConvTranspose1d(nn.Module):
     """torch.nn.ConvTranspose1d equivalent: out_len = (T-1)*s - 2p + k.
 
-    Implemented as an input-dilated convolution with the spatially-flipped
-    kernel — the exact adjoint of Conv1d, matching torch bit-for-bit in fp32.
     kernel param shape [k, C_in, C_out] (torch weight is [C_in, C_out, k];
     convert with w.transpose(2, 0, 1)).
+
+    Implemented as an input-dilated convolution with the spatially-flipped
+    kernel — the exact adjoint of Conv1d, matching torch in fp32.
+
+    MEASURED NEGATIVE RESULT (round 2, v5e): a subpixel/depth-to-time
+    reformulation (dense VALID conv with k/s taps to s*C_out channels +
+    interleave, `subpixel=True`) avoids the zero-stuffed multiplies but LOST
+    to this lowering at the HiFi-GAN geometry — 116 ms vs 91 ms for the full
+    generator at [1,1536,80] fp32 — because the materialized depth-to-time
+    intermediate + slice nearly doubles HBM traffic (45.5 vs 25.4 GB, XLA
+    cost analysis) and the op is bandwidth-bound. XLA's native lhs_dilation
+    lowering does not pay for the inserted zeros on TPU. The subpixel path is
+    kept (flag, off) as the torch-verified reference of that reformulation.
     """
 
     features: int
@@ -68,6 +79,7 @@ class ConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    subpixel: bool = False  # measured slower on TPU; see class docstring
 
     @nn.compact
     def __call__(self, x):
@@ -78,18 +90,44 @@ class ConvTranspose1d(nn.Module):
             (self.kernel_size, in_ch, self.features),
         )
         k, s, p = self.kernel_size, self.stride, self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype or x.dtype),
-            jnp.flip(kernel, axis=0).astype(self.dtype or x.dtype),
-            window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(s,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        dt = self.dtype or x.dtype
+        if self.subpixel and s > 1 and k % s == 0 and 2 * p == k - s:
+            y = self._subpixel(x.astype(dt), kernel.astype(dt), k, s, p)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt),
+                jnp.flip(kernel, axis=0).astype(dt),
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(s,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         return y
+
+    def _subpixel(self, x, kernel, k, s, p):
+        # out[m] = sum_j x[(m+p)//s - j] * w[(m+p)%s + j*s]  (torch semantics:
+        # out[t*s - p + kappa] += x[t] * w[kappa]).  Split kappa = j*s + phi:
+        # a taps j in [0, a), s phases phi.  z[q, phi] = sum_j x[q-j] w[phi+j*s]
+        # is a causal a-tap conv to s*C_out channels; flatten (q, phi) -> time
+        # and slice off the p-sample left edge.
+        B, T, C_in = x.shape
+        a = k // s
+        # [k, C_in, C_out] -> [a(j), s(phi), C_in, C_out] -> [a, C_in, s, C_out]
+        # (j flipped: lax conv correlates forward while z sums over x[q - j])
+        w = jnp.flip(
+            kernel.reshape(a, s, C_in, self.features), axis=0
+        ).transpose(0, 2, 1, 3)
+        w = w.reshape(a, C_in, s * self.features)
+        xp = jnp.pad(x, ((0, 0), (a - 1, 1), (0, 0)))
+        z = jax.lax.conv_general_dilated(
+            xp, w, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )  # [B, T+1, s*C_out]
+        z = z.reshape(B, (T + 1) * s, self.features)
+        return jax.lax.dynamic_slice_in_dim(z, p, T * s, axis=1)
 
 
 class GroupNorm(nn.Module):

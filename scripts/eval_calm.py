@@ -76,7 +76,8 @@ def main(argv=None):
         print(f"loaded components from {comp_dir}")
 
     inf = CALMInference(model, {"params": params}, tokenizer,
-                        audio_buckets=e.audio_buckets)
+                        audio_buckets=e.audio_buckets,
+                        text_buckets=e.text_buckets)
     rng = jax.random.PRNGKey(e.seed)
 
     if e.task in ("asr", "mix"):

@@ -60,7 +60,8 @@ def build_engine(args):
             params, {c: args.components for c in COMPONENTS + ("lora",)}
         )
     inf = CALMInference(model, {"params": params}, tokenizer,
-                        audio_buckets=cfg.evaluation.audio_buckets)
+                        audio_buckets=cfg.evaluation.audio_buckets,
+                        text_buckets=cfg.evaluation.text_buckets)
 
     vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
     if m.vae_path:
@@ -83,11 +84,13 @@ def build_engine(args):
 
     def tts(text, steps, cfg_scale):
         rng_state[0], k = jax.random.split(rng_state[0])
-        latents, n = inf.tts(text, k, steps=steps, cfg_scale=cfg_scale,
-                             method=cfg.evaluation.ode_method,
-                             time_schedule=cfg.evaluation.time_schedule,
-                             pad_to_grid=True)
-        return np.clip(render(latents, n), -1, 1)
+        # long-form path: sentence-chunk past the prompt budget, crossfade
+        # (degenerates to a single synthesis call for short text)
+        wav = inf.tts_long(text, k, render, steps=steps, cfg_scale=cfg_scale,
+                           method=cfg.evaluation.ode_method,
+                           time_schedule=cfg.evaluation.time_schedule,
+                           crossfade_ms=cfg.evaluation.crossfade_ms)
+        return np.clip(wav, -1, 1)
 
     def asr(wav_f32, steps):
         w = process_audio_chunk(jnp.asarray(wav_f32))

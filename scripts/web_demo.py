@@ -66,7 +66,8 @@ def main(argv=None):
             params, {c: args.components for c in COMPONENTS + ("lora",)}
         )
     inf = CALMInference(model, {"params": params}, tokenizer,
-                        audio_buckets=cfg.evaluation.audio_buckets)
+                        audio_buckets=cfg.evaluation.audio_buckets,
+                        text_buckets=cfg.evaluation.text_buckets)
 
     vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
     vae = AcousticVAE(vae_cfg)
@@ -84,9 +85,9 @@ def main(argv=None):
 
     def tts_fn(text, steps, cfg_scale):
         rng_holder[0], k = jax.random.split(rng_holder[0])
-        latents, n = inf.tts(text, k, steps=int(steps),
-                             cfg_scale=float(cfg_scale), pad_to_grid=True)
-        wav = render(latents, n)
+        wav = inf.tts_long(text, k, render, steps=int(steps),
+                           cfg_scale=float(cfg_scale),
+                           crossfade_ms=cfg.evaluation.crossfade_ms)
         return 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
 
     def asr_fn(audio, steps):

@@ -147,3 +147,113 @@ def test_bucketed_inference_picks_small_grid(tiny):
     assert np.isfinite(lat).all()
     # decode jit compiled for exactly one bucket grid
     assert inf._tts_decode_jit._cache_size() == 1
+
+
+# ---------------------------------------------------------------------------
+# Long-form TTS: sentence packing, crossfade, text buckets (round 2)
+# ---------------------------------------------------------------------------
+def test_split_text_for_tts_budget_and_coverage():
+    from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.eval.infer import TTS_PROMPT, split_text_for_tts
+
+    tok = ByteTokenizer()
+    overhead = len(tok.encode(TTS_PROMPT.format(""), add_special_tokens=False))
+    text = ("The cat sat on the mat. It was a sunny day! "
+            "Dogs bark loudly; cats purr quietly. The end.")
+    max_tokens = overhead + 30
+    chunks = split_text_for_tts(text, tok, max_tokens)
+    assert len(chunks) >= 2
+    for c in chunks:
+        assert len(tok.encode(TTS_PROMPT.format(c),
+                              add_special_tokens=False)) <= max_tokens
+    # every word of the input survives, in order
+    assert " ".join(chunks).split() == text.split()
+
+
+def test_split_text_hard_splits_oversized_sentence():
+    from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.eval.infer import TTS_PROMPT, split_text_for_tts
+
+    tok = ByteTokenizer()
+    overhead = len(tok.encode(TTS_PROMPT.format(""), add_special_tokens=False))
+    text = "word " * 40  # one long "sentence", no punctuation
+    chunks = split_text_for_tts(text, tok, overhead + 20)
+    assert len(chunks) >= 2
+    assert " ".join(chunks).split() == text.split()
+
+
+def test_crossfade_concat():
+    from audio_calm_tpu.eval.infer import crossfade_concat
+
+    a = np.ones(1000, np.float32)
+    b = np.full(500, 2.0, np.float32)
+    fade = int(16000 * 0.02)  # 320 samples
+    out = crossfade_concat([a, b], crossfade_ms=20.0)
+    assert out.shape[0] == 1000 + 500 - fade
+    assert out[0] == 1.0 and out[-1] == 2.0
+    # equal-power mix stays between the two levels at the boundary
+    mix = out[1000 - fade : 1000]
+    assert (mix >= 1.0 - 1e-6).all() and (mix <= 2.0 * np.sqrt(2) + 1e-6).all()
+    # zero fade = plain concatenation; empty input tolerated
+    assert crossfade_concat([a, b], crossfade_ms=0.0).shape[0] == 1500
+    assert crossfade_concat([]).shape[0] == 0
+
+
+def test_text_bucket_padding_is_mask_exact(tiny):
+    """Pad-slot CONTENT must not affect the encode (masking correctness):
+    same valid prefix + different junk ids in masked slots -> identical."""
+    from audio_calm_tpu.eval.infer import tts_encode
+
+    model, params = tiny
+    ids_a = jnp.asarray([[3, 5, 7, 9, 0, 0]])
+    ids_b = jnp.asarray([[3, 5, 7, 9, 111, 42]])
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]])
+    cv_a, ctx_a, pad_a, n_a = tts_encode(model, params, ids_a, mask)
+    cv_b, ctx_b, pad_b, n_b = tts_encode(model, params, ids_b, mask)
+    np.testing.assert_allclose(np.asarray(cv_a), np.asarray(cv_b),
+                               rtol=1e-6, atol=1e-6)
+    valid = ~np.asarray(pad_a[0])
+    np.testing.assert_allclose(np.asarray(ctx_a[0][valid]),
+                               np.asarray(ctx_b[0][valid]),
+                               rtol=1e-6, atol=1e-6)
+    assert int(n_a[0]) == int(n_b[0])
+
+
+def test_text_buckets_reuse_one_compiled_program(tiny):
+    from audio_calm_tpu.data.tokenizer import ByteTokenizer
+
+    model, params = tiny
+    inf = CALMInference(model, params, ByteTokenizer(),
+                        audio_buckets=[16, 32], text_buckets=[64, 96])
+    for text in ("hi", "hello", "goodbye"):  # 3 lengths, same 64 bucket
+        lat, n = inf.tts(text, jax.random.PRNGKey(0), steps=2, cfg_scale=1.5)
+        assert np.isfinite(lat).all()
+    assert inf._tts_encode_jit._cache_size() == 1
+
+
+def test_tts_long_chunks_and_renders(tiny):
+    from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.eval.infer import TTS_PROMPT, split_text_for_tts
+
+    model, params = tiny
+    tok = ByteTokenizer()
+    inf = CALMInference(model, params, tok,
+                        audio_buckets=[16, 32], text_buckets=[64, 96])
+    rendered = []
+
+    def fake_render(latents, n):
+        rendered.append((latents.shape, n))
+        return np.ones(n * 1024, np.float32)
+
+    overhead = len(tok.encode(TTS_PROMPT.format(""), add_special_tokens=False))
+    text = "The cat sat. The dog ran! A bird flew; fish swam. All done."
+    budget = overhead + 16
+    n_chunks = len(split_text_for_tts(text, tok, budget))
+    assert n_chunks >= 2
+    wav = inf.tts_long(text, jax.random.PRNGKey(0), fake_render,
+                       steps=2, cfg_scale=1.5, max_chunk_tokens=budget)
+    assert len(rendered) == n_chunks
+    fade = int(16000 * 0.02)
+    expect = sum(n * 1024 for _, n in rendered) - (n_chunks - 1) * fade
+    assert wav.shape[0] == expect
+    assert np.isfinite(wav).all()

@@ -33,14 +33,22 @@ def test_conv1d_matches_torch():
     assert np.max(np.abs(ours - ref)) < 1e-4
 
 
-@pytest.mark.parametrize("s", [2, 3])
-def test_conv_transpose1d_matches_torch(s):
+@pytest.mark.parametrize("subpixel", [False, True])
+@pytest.mark.parametrize(
+    "k,s,p",
+    [
+        (4, 2, 1),    # VAE decoder / HiFi-GAN tail
+        (16, 8, 4),   # HiFi-GAN head stages, 8x upsample
+        (6, 3, 1),    # 2p != k-s -> always exact-adjoint lhs_dilation
+        (5, 3, 1),    # k % s != 0 -> always lhs_dilation
+    ],
+)
+def test_conv_transpose1d_matches_torch(k, s, p, subpixel):
     rng = np.random.default_rng(1)
     B, T, C = 2, 16, 8
-    k, p = 2 * s, s // 2
     x = rng.standard_normal((B, T, C)).astype(np.float32)
 
-    m = ConvTranspose1d(C, k, stride=s, padding=p)
+    m = ConvTranspose1d(C, k, stride=s, padding=p, subpixel=subpixel)
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
     w = _np(params["params"]["kernel"])  # [k, Cin, Cout]
     b = _np(params["params"]["bias"])
