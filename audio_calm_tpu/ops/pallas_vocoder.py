@@ -1,0 +1,280 @@
+"""Fused HiFi-GAN vocoder compute as Pallas TPU kernels.
+
+The HiFi-GAN generator dominates TTS serving cost: 952 GFLOP per 24.6 s
+utterance, and under XLA it is bandwidth-bound end to end (25.4 GB of HBM
+traffic -> ~280 GB/s effective, BASELINE.md "Vocoder lowering experiment").
+The traffic comes from the multi-receptive-field resblocks: 126 small
+dilated convs whose intermediates (up to [393216, 32] per tensor) round-trip
+HBM between every op.
+
+This module fuses each MRF ResBlock (reference eval stack: SpeechBrain
+HiFi-GAN V1; our flax port models/vocoder.ResBlock1) into ONE kernel:
+
+  for each dilation d:  x += Conv_k,1( lrelu( Conv_k,d( lrelu(x) ) ) )
+
+The time axis is tiled; each program DMAs its tile plus a zero-padded halo
+(the stacked receptive field of the 6 sequential convs) from HBM, runs the
+whole block in VMEM, and writes only the final tile. Each conv is an
+im2col-style single MXU matmul: k shifted slices concatenated along lanes
+[TT, k*C] x [k*C, C] — full contraction utilization even at the C=32 tail
+stage. Weights ride in VMEM across grid steps (constant index_map).
+
+Upsample / pre / post convs stay in XLA (39 GFLOP total; the lhs_dilation
+lowering measured fine) — `hifigan_apply_fused` stitches both worlds over
+the unchanged HiFiGANGenerator parameter tree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM working budget per program (v5e: ~16 MB/core scoped limit; Mosaic
+# stack-allocates the whole intermediate chain plus pipelined in/out blocks,
+# so budget conservatively — measured: 10 MB OOMs at stage C=64/k=7)
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _halo(kernel_size: int, dilations: Tuple[int, ...]) -> int:
+    """Stacked left/right receptive margin of the sequential conv chain."""
+    c = (kernel_size - 1) // 2
+    return sum(c * d + c for d in dilations)
+
+
+def _pick_tile(C: int, kernel_size: int, dilations: Tuple[int, ...],
+               itemsize: int) -> int:
+    """Largest time tile whose weights + live buffers fit the VMEM budget."""
+    n_d = len(dilations)
+    w_bytes = 2 * n_d * kernel_size * C * C * itemsize
+    H = _halo(kernel_size, dilations)
+    # narrow arrays still occupy full 128-lane registers/VMEM tiles
+    c_eff = max(C, 128)
+    cat_eff = max(kernel_size * C, 128)
+    tile = 8192
+    while tile > 128:
+        ttp = tile + 2 * H
+        # xbuf fp32 + ~2 live intermediates fp32 + im2col cat in compute dtype
+        act = ttp * c_eff * 4 * 3 + ttp * cat_eff * itemsize
+        if w_bytes + act <= _VMEM_BUDGET:
+            break
+        tile //= 2
+    return tile
+
+
+def _conv_valid(h: jnp.ndarray, w_flat: jnp.ndarray, bias: jnp.ndarray,
+                k: int, d: int, cdt) -> jnp.ndarray:
+    """VALID dilated conv as k accumulated shifted matmuls.
+
+    h [L, C] -> [L - (k-1)*d, C]; w_flat [k*C, C] (tap-major rows).
+    (An im2col lane-concat + single matmul would contract k*C at once, but
+    Mosaic rejects concatenating slices with mismatched sublane offsets —
+    "result/input offset mismatch on non-concat dimension".)"""
+    L, C = h.shape
+    lout = L - (k - 1) * d
+    hc = h.astype(cdt)
+    acc = jnp.broadcast_to(bias[None, :], (lout, C)).astype(jnp.float32)
+    for j in range(k):
+        acc = acc + jnp.dot(
+            hc[j * d : j * d + lout, :],
+            w_flat[j * C : (j + 1) * C, :],
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                     kernel_size: int, dilations: Tuple[int, ...],
+                     slope: float, tile: int, seq_len: int, cdt):
+    i = pl.program_id(1)
+    k = kernel_size
+    c = (k - 1) // 2
+    H = _halo(k, dilations)
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    # every conv in the reference zero-pads at the SEQUENCE edges; inside the
+    # halo the chain would otherwise propagate bias/residual values past the
+    # edge, so zero everything outside [0, seq_len) before each conv input
+    s0 = i * tile - H  # original coord of buffer position 0
+
+    def edge_mask(h, start):
+        coords = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + start
+        inside = (coords >= 0) & (coords < seq_len)
+        return jnp.where(inside, h, 0.0)
+
+    cur = x_ref[0, 0, :, :].astype(jnp.float32)  # [ttp, C]
+    consumed = 0
+    for i_d, d in enumerate(dilations):
+        shrink = c * d + c
+        h = edge_mask(lrelu(cur), s0 + consumed)
+        h = _conv_valid(h, w1_ref[i_d], b1_ref[i_d], k, d, cdt)
+        h = edge_mask(lrelu(h), s0 + consumed + c * d)
+        h = _conv_valid(h, w2_ref[i_d], b2_ref[i_d], k, 1, cdt)
+        cur = cur[shrink:-shrink, :] + h
+        consumed += shrink
+    o_ref[0, :, :] = cur.astype(o_ref.dtype)
+
+
+def fused_resblock(
+    x: jnp.ndarray,  # [B, T, C]
+    w1: jnp.ndarray,  # [n_d, k, C, C] flax Conv layout per tap
+    b1: jnp.ndarray,  # [n_d, C]
+    w2: jnp.ndarray,  # [n_d, k, C, C]
+    b2: jnp.ndarray,  # [n_d, C]
+    kernel_size: int,
+    dilations: Tuple[int, ...] = (1, 3, 5),
+    slope: float = 0.1,
+    compute_dtype=jnp.bfloat16,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One HiFi-GAN MRF resblock, fused. Matches models/vocoder.ResBlock1
+    ('same' zero padding) to compute-dtype roundoff."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    B, T, C = x.shape
+    n_d, k = w1.shape[0], kernel_size
+    H = _halo(k, dilations)
+    cdt = compute_dtype
+    itemsize = jnp.dtype(cdt).itemsize
+    if tile is None:
+        tile = _pick_tile(C, k, dilations, itemsize)
+    nt = pl.cdiv(T, tile)
+    t_grid = nt * tile
+    ttp = tile + 2 * H
+
+    # zero-pad: H halo each side + round T up to the tile grid, then
+    # materialize the overlapping halo windows in XLA (a ~1.05x gather) so
+    # the kernel consumes standard non-overlapping blocks that Mosaic can
+    # pipeline — manual HBM DMA requires 128-aligned minor dims (C here can
+    # be 32/64), and concat/slice relayouts choke on mismatched offsets
+    xp = jnp.pad(x, ((0, 0), (H, H + (t_grid - T)), (0, 0)))
+    starts = jnp.arange(nt) * tile
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xp, (0, s, 0), (B, ttp, C))
+    )(starts)  # [nt, B, ttp, C]
+    windows = windows.transpose(1, 0, 2, 3)  # [B, nt, ttp, C]
+
+    # tap-major flat weights [n_d, k*C, C] in compute dtype (halves the VMEM
+    # residency for the big C=256 stage); biases stay fp32
+    w1f = w1.reshape(n_d, k * C, C).astype(cdt)
+    w2f = w2.reshape(n_d, k * C, C).astype(cdt)
+
+    kernel = functools.partial(
+        _resblock_kernel, kernel_size=k, dilations=tuple(dilations),
+        slope=slope, tile=tile, seq_len=T, cdt=cdt,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, t_grid, C), x.dtype),
+        grid=(B, nt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1, ttp, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),  # halo window
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (whole, resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_d * B * t_grid * k * C * C,
+            bytes_accessed=2 * B * t_grid * C * 4
+            + 2 * n_d * k * C * C * itemsize,
+            transcendentals=0,
+        ),
+    )(windows, w1f, b1.astype(jnp.float32), w2f, b2.astype(jnp.float32))
+    return out[:, :T, :]
+
+
+# ---------------------------------------------------------------------------
+# Full generator: XLA glue (pre/post/upsample convs) + fused resblocks
+# ---------------------------------------------------------------------------
+def _conv1d(x, kernel, bias, pad: int, dilation: int = 1):
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + bias
+
+
+def _conv_transpose1d(x, kernel, bias, stride: int, k: int, pad: int):
+    y = jax.lax.conv_general_dilated(
+        x, jnp.flip(kernel, axis=0), window_strides=(1,),
+        padding=[(k - 1 - pad, k - 1 - pad)], lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + bias
+
+
+def _stack_resblock_weights(blk, n_d: int):
+    w1 = jnp.stack([blk[f"convs1_{i}"]["conv"]["kernel"] for i in range(n_d)])
+    b1 = jnp.stack([blk[f"convs1_{i}"]["conv"]["bias"] for i in range(n_d)])
+    w2 = jnp.stack([blk[f"convs2_{i}"]["conv"]["kernel"] for i in range(n_d)])
+    b2 = jnp.stack([blk[f"convs2_{i}"]["conv"]["bias"] for i in range(n_d)])
+    return w1, b1, w2, b2
+
+
+def hifigan_apply_fused(
+    params,
+    mel: jnp.ndarray,  # [B, T, n_mels]
+    cfg=None,
+    compute_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Generator forward over the UNCHANGED HiFiGANGenerator param tree,
+    with every MRF resblock fused into a Pallas kernel. Returns the
+    waveform [B, T * total_upsample] like HiFiGANGenerator.__call__."""
+    from audio_calm_tpu.models.vocoder import HiFiGANConfig
+
+    cfg = cfg or HiFiGANConfig()
+    p = params["params"] if "params" in params else params
+    slope = cfg.lrelu_slope
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    x = _conv1d(mel, p["conv_pre"]["conv"]["kernel"],
+                p["conv_pre"]["conv"]["bias"], pad=3)
+    for i, (r, k_up) in enumerate(
+        zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+    ):
+        x = lrelu(x)
+        x = _conv_transpose1d(
+            x, p[f"ups_{i}"]["kernel"], p[f"ups_{i}"]["bias"],
+            stride=r, k=k_up, pad=(k_up - r) // 2,
+        )
+        acc = None
+        for j, (rk, rd) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
+        ):
+            w1, b1, w2, b2 = _stack_resblock_weights(
+                p[f"resblocks_{i}_{j}"], len(rd)
+            )
+            h = fused_resblock(
+                x, w1, b1, w2, b2, kernel_size=rk, dilations=tuple(rd),
+                slope=slope, compute_dtype=compute_dtype,
+                interpret=interpret,
+            )
+            acc = h if acc is None else acc + h
+        x = acc / len(cfg.resblock_kernel_sizes)
+    x = lrelu(x)
+    x = _conv1d(x, p["conv_post"]["conv"]["kernel"],
+                p["conv_post"]["conv"]["bias"], pad=3)
+    return jnp.tanh(x.astype(jnp.float32))[..., 0]
