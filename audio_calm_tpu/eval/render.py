@@ -41,11 +41,11 @@ def make_renderer(
         return denormalize_mel(mel_n, vae_cfg)
 
     if hifi:
-        gen, gen_params = vocoder.generator, vocoder.params
+        gen_params = vocoder.params
 
         @jax.jit
         def pipeline(latents):
-            return gen.apply(gen_params, decode(latents))
+            return vocoder.apply_fn(gen_params, decode(latents))
 
     def render(latents: np.ndarray, n_frames: int) -> np.ndarray:
         x = jnp.asarray(np.asarray(latents, np.float32))[None]

@@ -180,14 +180,31 @@ class HiFiGANVocoder:
     log-mel [B, T, n_mels] -> waveform [B, T * total_upsample], mirroring the
     reference's primary vocoder (SpeechBrain `decode_batch`,
     eval/eval_calm.py:175-181); Griffin-Lim is only the fallback.
-    """
+
+    fused=True (default on TPU) routes the MRF resblocks through the Pallas
+    kernels in ops/pallas_vocoder — measured 45 -> 14 ms of device time for
+    the resblock stack on v5e (BASELINE.md), waveform parity < 1e-3 of the
+    tanh range vs the XLA path. AUDIO_CALM_VOCODER=xla opts out."""
 
     def __init__(self, params: Dict, cfg: HiFiGANConfig = HiFiGANConfig(),
-                 dtype=None):
+                 dtype=None, fused: bool | None = None):
         self.cfg = cfg
         self.generator = HiFiGANGenerator(cfg, dtype=dtype)
         self.params = {"params": params}
-        self._decode = jax.jit(self.generator.apply)
+        if fused is None:
+            fused = (os.environ.get("AUDIO_CALM_VOCODER", "fused") == "fused"
+                     and jax.default_backend() != "cpu")
+        self.fused = fused
+        self._decode = jax.jit(self.apply_fn)
+
+    def apply_fn(self, params, log_mel: jnp.ndarray) -> jnp.ndarray:
+        """Jittable generator forward (used by eval.render to fuse the
+        VAE-decode -> vocoder pipeline into one program)."""
+        if self.fused:
+            from audio_calm_tpu.ops.pallas_vocoder import hifigan_apply_fused
+
+            return hifigan_apply_fused(params, log_mel, self.cfg)
+        return self.generator.apply(params, log_mel)
 
     def __call__(self, log_mel: jnp.ndarray) -> jnp.ndarray:
         return self._decode(self.params, log_mel)

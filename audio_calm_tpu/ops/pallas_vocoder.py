@@ -92,6 +92,97 @@ def _conv_valid(h: jnp.ndarray, w_flat: jnp.ndarray, bias: jnp.ndarray,
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Packed small-C kernel: g = 128 // C time steps folded into lanes
+# ---------------------------------------------------------------------------
+def _packed_deltas(k: int, d: int, c: int, g: int):
+    """Row-shift set for a same-aligned dilated conv in packed coords.
+
+    Unpacked: out[t] = sum_j in[t + j*d - c*d]. Packed row q, phase p:
+    source position offset u = p + j*d - c*d -> row shift delta = u // g,
+    source phase p_in = u % g. Returns (deltas_sorted, placements) where
+    placements[delta] = [(p_in, p_out, j), ...]."""
+    placements = {}
+    for p_out in range(g):
+        for j in range(k):
+            u = p_out + j * d - c * d
+            delta = u // g  # floor division (u may be negative)
+            p_in = u - delta * g
+            placements.setdefault(delta, []).append((p_in, p_out, j))
+    return sorted(placements), placements
+
+
+def _packed_weights(w: jnp.ndarray, k: int, d: int, g: int, cdt):
+    """w [k, C, C] -> (deltas, [n_delta, g*C, g*C]) block-Toeplitz weights
+    for the packed same-conv out_packed[q] = sum_d in_packed[q+d] @ W_d."""
+    C = w.shape[1]
+    c = (k - 1) // 2
+    deltas, placements = _packed_deltas(k, d, c, g)
+    mats = []
+    for delta in deltas:
+        m = jnp.zeros((g * C, g * C), w.dtype)
+        for (p_in, p_out, j) in placements[delta]:
+            m = jax.lax.dynamic_update_slice(
+                m, w[j], (p_in * C, p_out * C)
+            )
+        mats.append(m)
+    return deltas, jnp.stack(mats).astype(cdt)
+
+
+def _packed_conv(h, mats, deltas, bias, cdt):
+    """Same-aligned packed conv. h [Q, gC] -> [Q - lo - hi, gC] where
+    lo = -min(deltas), hi = max(deltas); output row q' corresponds to input
+    row q' + lo (same base position, lo rows consumed on the left)."""
+    lo, hi = -min(deltas), max(deltas)
+    qo = h.shape[0] - lo - hi
+    hc = h.astype(cdt)
+    acc = jnp.broadcast_to(bias[None, :], (qo, h.shape[1])).astype(jnp.float32)
+    for mat, delta in zip(mats, deltas):
+        acc = acc + jnp.dot(
+            hc[lo + delta : lo + delta + qo, :], mat,
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _resblock_kernel_packed(x_ref, w_ref, b_ref, o_ref, *, specs,
+                            h_left: int, slope: float, tile_rows: int,
+                            seq_len: int, g: int, C: int, cdt):
+    """Packed variant: x_ref [1, 1, Qp, 128] window (g time steps per row),
+    o_ref [1, tile_rows, 128]. specs = per-conv (deltas, w_offset) static
+    metadata; w_ref [sum_n_deltas, 128, 128]; b_ref [2*n_dil, 128]."""
+    i = pl.program_id(1)
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    s0 = i * tile_rows - h_left  # packed-row coord of buffer row 0
+
+    def edge_mask(h, start_rows):
+        rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + start_rows
+        lanes = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        pos = rows * g + lanes // C
+        inside = (pos >= 0) & (pos < seq_len)
+        return jnp.where(inside, h, 0.0)
+
+    cur = x_ref[0, 0, :, :].astype(jnp.float32)  # [Qp, 128]
+    consumed = 0  # rows consumed from the buffer's left edge so far
+    for i_d, (deltas1, off1), (deltas2, off2) in specs:
+        lo1 = -min(deltas1)
+        lo2 = -min(deltas2)
+        mats1 = [w_ref[off1 + n] for n in range(len(deltas1))]
+        mats2 = [w_ref[off2 + n] for n in range(len(deltas2))]
+        h = edge_mask(lrelu(cur), s0 + consumed)
+        h = _packed_conv(h, mats1, deltas1, b_ref[2 * i_d], cdt)
+        h = edge_mask(lrelu(h), s0 + consumed + lo1)
+        h = _packed_conv(h, mats2, deltas2, b_ref[2 * i_d + 1], cdt)
+        # residual alignment: h rows start at cur row (lo1 + lo2)
+        cur = cur[lo1 + lo2 : lo1 + lo2 + h.shape[0], :] + h
+        consumed += lo1 + lo2
+    # after the loop cur row 0 sits at buffer row h_left == tile start
+    o_ref[0, :, :] = cur[:tile_rows, :].astype(o_ref.dtype)
+
+
 def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                      kernel_size: int, dilations: Tuple[int, ...],
                      slope: float, tile: int, seq_len: int, cdt):
@@ -126,6 +217,94 @@ def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o_ref[0, :, :] = cur.astype(o_ref.dtype)
 
 
+def _fused_resblock_packed(
+    x, w1, b1, w2, b2, kernel_size: int, dilations, slope: float,
+    compute_dtype, tile_rows: Optional[int], interpret: bool,
+) -> jnp.ndarray:
+    """Packed small-C path: g = 128//C time steps per 128-lane row, block-
+    Toeplitz weights, every matmul [Q,128]x[128,128] at full MXU width."""
+    B, T, C = x.shape
+    g = 128 // C
+    k = kernel_size
+    cdt = compute_dtype
+
+    # static metadata + stacked packed weights
+    specs = []
+    mats = []
+    off = 0
+    l_rows = r_rows = 0
+    for i_d, d in enumerate(dilations):
+        deltas1, m1 = _packed_weights(w1[i_d], k, d, g, cdt)
+        deltas2, m2 = _packed_weights(w2[i_d], k, 1, g, cdt)
+        specs.append((i_d, (tuple(deltas1), off),
+                      (tuple(deltas2), off + len(deltas1))))
+        off += len(deltas1) + len(deltas2)
+        mats.extend([m1, m2])
+        l_rows += -min(deltas1) - min(deltas2)
+        r_rows += max(deltas1) + max(deltas2)
+    w_all = jnp.concatenate(mats, axis=0)  # [n_total, 128, 128]
+    b_all = jnp.stack(
+        [jnp.tile(b, g) for pair in zip(b1, b2) for b in pair]
+    ).astype(jnp.float32)  # [2*n_dil, 128]
+
+    if tile_rows is None:
+        w_bytes = w_all.shape[0] * 128 * 128 * jnp.dtype(cdt).itemsize
+        tile_rows = 4096
+        while tile_rows > 128:
+            qp = tile_rows + l_rows + r_rows
+            act = qp * 128 * 4 * 3 + qp * 128 * jnp.dtype(cdt).itemsize
+            if w_bytes + act <= _VMEM_BUDGET:
+                break
+            tile_rows //= 2
+
+    rows = pl.cdiv(T, g)  # packed rows covering the sequence
+    nt = pl.cdiv(rows, tile_rows)
+    rows_grid = nt * tile_rows
+    qp = tile_rows + l_rows + r_rows
+
+    # pad to whole packed rows + asymmetric halo + grid rounding, then pack
+    xp = jnp.pad(
+        x,
+        ((0, 0),
+         (l_rows * g, (rows_grid - rows) * g + r_rows * g + (rows * g - T)),
+         (0, 0)),
+    )
+    xp = xp.reshape(B, l_rows + rows_grid + r_rows, g * C)
+    starts = jnp.arange(nt) * tile_rows
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xp, (0, s, 0), (B, qp, 128))
+    )(starts).transpose(1, 0, 2, 3)  # [B, nt, qp, 128]
+
+    kernel = functools.partial(
+        _resblock_kernel_packed, specs=specs, h_left=l_rows, slope=slope,
+        tile_rows=tile_rows, seq_len=T, g=g, C=C, cdt=cdt,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, rows_grid, 128), x.dtype),
+        grid=(B, nt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1, qp, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_rows, 128), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * w_all.shape[0] * B * rows_grid * 128 * 128,
+            bytes_accessed=2 * B * rows_grid * 128 * 4
+            + w_all.shape[0] * 128 * 128 * jnp.dtype(cdt).itemsize,
+            transcendentals=0,
+        ),
+    )(windows, w_all, b_all)
+    return out.reshape(B, rows_grid * g, C)[:, :T, :]
+
+
 def fused_resblock(
     x: jnp.ndarray,  # [B, T, C]
     w1: jnp.ndarray,  # [n_d, k, C, C] flax Conv layout per tap
@@ -144,6 +323,11 @@ def fused_resblock(
     if interpret is None:
         interpret = _auto_interpret()
     B, T, C = x.shape
+    if C < 128 and 128 % C == 0:
+        return _fused_resblock_packed(
+            x, w1, b1, w2, b2, kernel_size, tuple(dilations), slope,
+            compute_dtype, tile, interpret,
+        )
     n_d, k = w1.shape[0], kernel_size
     H = _halo(k, dilations)
     cdt = compute_dtype
@@ -231,6 +415,25 @@ def _stack_resblock_weights(blk, n_d: int):
     return w1, b1, w2, b2
 
 
+def _xla_resblock(x, w1, b1, w2, b2, k: int, dilations, slope: float):
+    """Plain-XLA MRF resblock (same math as models/vocoder.ResBlock1) for
+    channel widths where XLA already runs near the MXU roofline (C=256
+    measured at ~150 TF/s; the Pallas kernel loses there because the
+    stacked weights force VMEM-starved tiny tiles)."""
+    c = (k - 1) // 2
+    for i, d in enumerate(dilations):
+        h = jnp.where(x >= 0, x, x * slope)
+        h = _conv1d(h, w1[i], b1[i], pad=c * d, dilation=d)
+        h = jnp.where(h >= 0, h, h * slope)
+        h = _conv1d(h, w2[i], b2[i], pad=c)
+        x = x + h
+    return x
+
+
+# resblocks at/above this width run on XLA inside hifigan_apply_fused
+_PALLAS_MAX_CHANNELS = 128
+
+
 def hifigan_apply_fused(
     params,
     mel: jnp.ndarray,  # [B, T, n_mels]
@@ -239,8 +442,14 @@ def hifigan_apply_fused(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Generator forward over the UNCHANGED HiFiGANGenerator param tree,
-    with every MRF resblock fused into a Pallas kernel. Returns the
-    waveform [B, T * total_upsample] like HiFiGANGenerator.__call__."""
+    with the MRF resblocks at C <= 128 fused into Pallas kernels (packed
+    into full 128-lane rows below C=128). Returns the waveform
+    [B, T * total_upsample] like HiFiGANGenerator.__call__.
+
+    Measured v5e device-time per resblock (slope method, full V1 geometry,
+    BASELINE.md): C=32: 7.0-8.3 ms XLA -> 1.7-2.3 ms packed; C=64: 4.0-4.4
+    -> 1.3-1.8; C=128: 2.4-3.6 -> 0.4-1.9; C=256 stays XLA (~150 TF/s
+    already)."""
     from audio_calm_tpu.models.vocoder import HiFiGANConfig
 
     cfg = cfg or HiFiGANConfig()
@@ -267,11 +476,14 @@ def hifigan_apply_fused(
             w1, b1, w2, b2 = _stack_resblock_weights(
                 p[f"resblocks_{i}_{j}"], len(rd)
             )
-            h = fused_resblock(
-                x, w1, b1, w2, b2, kernel_size=rk, dilations=tuple(rd),
-                slope=slope, compute_dtype=compute_dtype,
-                interpret=interpret,
-            )
+            if x.shape[-1] > _PALLAS_MAX_CHANNELS:
+                h = _xla_resblock(x, w1, b1, w2, b2, rk, tuple(rd), slope)
+            else:
+                h = fused_resblock(
+                    x, w1, b1, w2, b2, kernel_size=rk, dilations=tuple(rd),
+                    slope=slope, compute_dtype=compute_dtype,
+                    interpret=interpret,
+                )
             acc = h if acc is None else acc + h
         x = acc / len(cfg.resblock_kernel_sizes)
     x = lrelu(x)

@@ -69,9 +69,18 @@ def main():
 
     calm = QwenCALM(flagship_config(), dtype=jnp.bfloat16)
     vae = AcousticVAE(VAEModelConfig())
-    # measured: bf16 vocoder compute is SLOWER on v5e (119x vs 156x — the
-    # transposed convs lower badly in bf16); keep the vocoder fp32
+    # vocoder: fused Pallas resblock kernels by default (33.7 vs 53.8 ms of
+    # device time for the full generator, BASELINE.md round-2 slope bench);
+    # BENCH_VOCODER=xla opts back into the all-XLA generator
     voc = HiFiGANGenerator(HiFiGANConfig())
+    fused_voc = os.environ.get("BENCH_VOCODER", "fused") == "fused"
+    if fused_voc:
+        from audio_calm_tpu.ops.pallas_vocoder import hifigan_apply_fused
+
+        def voc_apply(params, mel):
+            return hifigan_apply_fused(params, mel)
+    else:
+        voc_apply = voc.apply
 
     # shapes resolve host-side (no compute); params materialize on-device in
     # ONE program as small random normals — zeros would let XLA fold the
@@ -122,7 +131,7 @@ def main():
             mel_n = vae.apply(vae_params, latents.astype(jnp.float32),
                               method=AcousticVAE.decode)
             mel = denormalize_mel(mel_n, vae.cfg)
-            wav = voc.apply(voc_params, mel)
+            wav = voc_apply(voc_params, mel)
             return wav
 
         return pipeline
@@ -166,6 +175,26 @@ def main():
             "rtf_mean": round(audio_seconds / wall_mean, 1),
             "rtf_min_wall": round(audio_seconds / wall_min, 1),
         }
+        if os.environ.get("BENCH_DEVICE", "1") != "0":
+            # device-side time without the wav readback tax: the axon tunnel
+            # costs ~26 ms dispatch floor + ~32 MB/s transfer (BASELINE.md
+            # calibration), which a production TPU host does not pay. A
+            # 4096x-decimated checksum (~KB readback) still forces full
+            # execution; rtf_device uses it as the completion barrier.
+            @functools.partial(jax.jit,
+                               static_argnames=("steps", "cfg_scale"))
+            def pipe_ck(*a, steps, cfg_scale):
+                return pipe(*a, steps=steps, cfg_scale=cfg_scale)[:, ::4096]
+
+            np.asarray(pipe_ck(*args, rng, steps=steps, cfg_scale=cfg_scale))
+            dts = []
+            for i in range(n_iters):
+                t0 = time.perf_counter()
+                np.asarray(pipe_ck(*args, jax.random.fold_in(rng, i),
+                                   steps=steps, cfg_scale=cfg_scale))
+                dts.append(time.perf_counter() - t0)
+            out["wall_min_device_s"] = round(float(np.min(dts)), 4)
+            out["rtf_device"] = round(audio_seconds / float(np.min(dts)), 1)
         if flops > 0:
             out["pipeline_tflops"] = round(flops / 1e12, 2)
             out["mfu_pct"] = round(

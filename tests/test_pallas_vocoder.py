@@ -26,6 +26,8 @@ from audio_calm_tpu.ops.pallas_vocoder import (
         (16, 11, (1, 3, 5), 200, 128),  # big halo (H=60) vs small tile
         (32, 7, (1, 3, 5), 96, 96),     # single tile exactly
         (16, 3, (1, 2), 130, 64),       # non-default dilation set
+        (24, 3, (1, 3, 5), 130, 64),    # 128 % C != 0 -> unpacked kernel
+        (64, 3, (1, 3, 5), 96, 32),     # packed g=2
     ],
 )
 def test_fused_resblock_matches_flax(C, k, dils, T, tile):
@@ -87,3 +89,26 @@ def test_hifigan_apply_fused_matches_generator():
     out_bf = hifigan_apply_fused(params, mel, cfg,
                                  compute_dtype=jnp.bfloat16, interpret=True)
     assert float(jnp.max(jnp.abs(out_bf - ref))) < 5e-3
+
+
+def test_hifigan_vocoder_fused_flag_matches():
+    """The HiFiGANVocoder(fused=True) wrapper (product path via
+    eval.render) matches the XLA wrapper on the same params."""
+    from audio_calm_tpu.models.vocoder import HiFiGANVocoder
+
+    cfg = HiFiGANConfig(
+        upsample_initial_channel=32,
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilations=((1, 2), (2, 6)),
+    )
+    gen = HiFiGANGenerator(cfg)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(6), mel)["params"]
+    v_x = HiFiGANVocoder(params, cfg, fused=False)
+    v_f = HiFiGANVocoder(params, cfg, fused=True)
+    wx, wf = np.asarray(v_x(mel)), np.asarray(v_f(mel))
+    assert wx.shape == wf.shape == (1, 320)
+    assert np.max(np.abs(wx - wf)) < 5e-3

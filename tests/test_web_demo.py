@@ -19,7 +19,9 @@ TINY_YAML = """
 model:
   latent_dim: 8
   max_audio_len: 32
-  max_text_len: 16
+  # must exceed the ~57-token ChatML prompt overhead so a short text stays a
+  # single tts_long chunk (the byte tokenizer spends one id per character)
+  max_text_len: 96
   tts_flow_hidden_dim: 32
   tts_flow_num_layers: 1
   asr_flow_hidden_dim: 32
