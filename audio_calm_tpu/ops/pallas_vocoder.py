@@ -2,26 +2,38 @@
 
 The HiFi-GAN generator dominates TTS serving cost: 952 GFLOP per 24.6 s
 utterance, and under XLA it is bandwidth-bound end to end (25.4 GB of HBM
-traffic -> ~280 GB/s effective, BASELINE.md "Vocoder lowering experiment").
-The traffic comes from the multi-receptive-field resblocks: 126 small
-dilated convs whose intermediates (up to [393216, 32] per tensor) round-trip
-HBM between every op.
+traffic -> ~280 GB/s effective). Two structural problems: (1) the 126 small
+dilated convs of the multi-receptive-field resblocks round-trip their
+intermediates (up to [393216, 32] per tensor) through HBM between every op,
+and (2) below 128 channels XLA pads every intermediate to the full 128-lane
+register width — 4x wasted bandwidth at the C=32 tail stage.
 
-This module fuses each MRF ResBlock (reference eval stack: SpeechBrain
-HiFi-GAN V1; our flax port models/vocoder.ResBlock1) into ONE kernel:
+Kernel design (reference eval stack: SpeechBrain HiFi-GAN V1; our flax port
+models/vocoder.ResBlock1 — a resblock is, per dilation d:
+x += Conv_k,1(lrelu(Conv_k,d(lrelu(x))))):
 
-  for each dilation d:  x += Conv_k,1( lrelu( Conv_k,d( lrelu(x) ) ) )
+- The time axis is tiled; each program consumes its tile plus a zero-padded
+  halo (the stacked receptive field of the fused chain), materialized by a
+  ~1.05x XLA gather (standard pipelinable blocks; manual HBM DMA requires
+  128-aligned minor dims). The whole chain runs in VMEM; only the final
+  tile is written. Sequence-edge zero-padding semantics are reproduced
+  exactly by masking outside [0, T) before every conv.
+- Below 128 channels, g = 128/C time steps are PACKED into lanes and each
+  conv becomes a small set of row-shifted [Q,128]x[128,128] matmuls against
+  block-Toeplitz weights — full MXU width at every stage. (The unpacked
+  per-tap variant at C<=64 merely tied XLA: relayout copies for
+  sublane-shifted tap slices on lane-padded intermediates ate the gains.)
+- `fused_upsample_stage` goes further for the C-halving stride-2 stages
+  (input and output packed-row rates coincide): ONE program runs lrelu ->
+  transposed conv (3 block-Toeplitz matmuls) -> all 3 resblocks -> mean.
+  For the C=128 stage the r=8 upsample stays in XLA and the kernel groups
+  the 3 resblocks + mean. Weights ride in VMEM across grid steps.
 
-The time axis is tiled; each program DMAs its tile plus a zero-padded halo
-(the stacked receptive field of the 6 sequential convs) from HBM, runs the
-whole block in VMEM, and writes only the final tile. Each conv is an
-im2col-style single MXU matmul: k shifted slices concatenated along lanes
-[TT, k*C] x [k*C, C] — full contraction utilization even at the C=32 tail
-stage. Weights ride in VMEM across grid steps (constant index_map).
-
-Upsample / pre / post convs stay in XLA (39 GFLOP total; the lhs_dilation
-lowering measured fine) — `hifigan_apply_fused` stitches both worlds over
-the unchanged HiFiGANGenerator parameter tree.
+conv_pre/conv_post, the two big-channel upsamples, and the C=256 stage stay
+in XLA (measured at ~150 TF/s already) — `hifigan_apply_fused` stitches
+both worlds over the unchanged HiFiGANGenerator parameter tree. Measured on
+v5e (slope method, full V1 geometry): generator device time 34-54 ms (XLA)
+-> 18.5 ms fused; waveform parity 4.9e-5. See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -415,6 +427,233 @@ def _stack_resblock_weights(blk, n_d: int):
     return w1, b1, w2, b2
 
 
+# ---------------------------------------------------------------------------
+# Stage-fused kernel: r=2 upsample + all 3 MRF resblocks + mean, one program
+# ---------------------------------------------------------------------------
+def _packed_upsample_weights(w: jnp.ndarray, r: int, g_in: int, g_out: int,
+                             cdt):
+    """Transposed-conv weights [k, C_in, C_out] (torch semantics,
+    p = (k-r)/2, k % r == 0) -> (deltas, [n, g_in*C_in, g_out*C_out]) for
+    the row-aligned packed upsample out_packed[q] = sum_d in_packed[q+d] @
+    U_d. Requires g_out == r * g_in (then input and output row rates are
+    identical, which holds for the C-halving r=2 HiFi-GAN stages)."""
+    k, C_in, C_out = w.shape
+    assert g_out == r * g_in and k % r == 0
+    p_conv = (k - r) // 2
+    a = k // r
+    placements = {}
+    for p_out in range(g_out):
+        base = (p_out + p_conv) // r
+        phi = (p_out + p_conv) % r
+        for j in range(a):
+            v = base - j
+            delta = v // g_in
+            p_in = v - delta * g_in
+            placements.setdefault(delta, []).append(
+                (p_in, p_out, phi + j * r)
+            )
+    deltas = sorted(placements)
+    mats = []
+    for delta in deltas:
+        m = jnp.zeros((g_in * C_in, g_out * C_out), w.dtype)
+        for (p_in, p_out, kappa) in placements[delta]:
+            m = jax.lax.dynamic_update_slice(
+                m, w[kappa], (p_in * C_in, p_out * C_out)
+            )
+        mats.append(m)
+    return deltas, jnp.stack(mats).astype(cdt)
+
+
+def _stage_kernel(x_ref, w_ref, b_ref, o_ref, *, ups_spec, block_specs,
+                  h_left: int, slope: float, tile_rows: int, seq_out: int,
+                  g_out: int, C_out: int, cdt):
+    """lrelu -> r=2 upsample -> [3 parallel resblocks] -> mean.
+
+    x_ref [1, 1, Qp, 128]: halo window of the PACKED stage input (g_in
+    phases per row); input and output rows are 1:1 (g_out = r*g_in).
+    o_ref [1, tile_rows, 128] packed output (g_out phases)."""
+    i = pl.program_id(1)
+    s0 = i * tile_rows - h_left  # row coord of buffer row 0
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    def edge_mask(h, start_rows):
+        rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + start_rows
+        lanes = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        pos = rows * g_out + lanes // C_out
+        inside = (pos >= 0) & (pos < seq_out)
+        return jnp.where(inside, h, 0.0)
+
+    # upsample (input windows are zero-padded and lrelu(0)=0, so no input
+    # mask is needed; the bias contamination beyond the sequence edge is
+    # handled by the per-conv output-coordinate masks below). ups_spec=None
+    # groups bare resblocks (+ mean) over an already-upsampled input.
+    if ups_spec is not None:
+        deltas_u, off_u, bidx_u = ups_spec
+        base = _packed_conv(
+            lrelu(x_ref[0, 0, :, :].astype(jnp.float32)),
+            [w_ref[off_u + n] for n in range(len(deltas_u))],
+            deltas_u, b_ref[bidx_u], cdt,
+        )
+        base_consumed = -min(deltas_u)  # rows consumed from the left edge
+    else:
+        base = x_ref[0, 0, :, :].astype(jnp.float32)
+        base_consumed = 0
+
+    acc = None
+    for spec in block_specs:
+        cur = base
+        consumed = base_consumed
+        for (deltas1, off1, bidx1), (deltas2, off2, bidx2) in spec:
+            lo1 = -min(deltas1)
+            lo2 = -min(deltas2)
+            h = edge_mask(lrelu(cur), s0 + consumed)
+            h = _packed_conv(
+                h, [w_ref[off1 + n] for n in range(len(deltas1))],
+                deltas1, b_ref[bidx1], cdt,
+            )
+            h = edge_mask(lrelu(h), s0 + consumed + lo1)
+            h = _packed_conv(
+                h, [w_ref[off2 + n] for n in range(len(deltas2))],
+                deltas2, b_ref[bidx2], cdt,
+            )
+            cur = cur[lo1 + lo2 : lo1 + lo2 + h.shape[0], :] + h
+            consumed += lo1 + lo2
+        # align this block's output to the tile start (buffer row h_left)
+        off = h_left - consumed
+        sl = cur[off : off + tile_rows, :]
+        acc = sl if acc is None else acc + sl
+    o_ref[0, :, :] = (acc / len(block_specs)).astype(o_ref.dtype)
+
+
+def fused_upsample_stage(
+    x: jnp.ndarray,  # [B, T_in, C_in]
+    ups_kernel: Optional[jnp.ndarray],  # [k_up, C_in, C_out] or None
+    ups_bias: Optional[jnp.ndarray],  # [C_out] or None
+    blocks,  # list of (w1 [n_d,k,C,C], b1, w2, b2, kernel_size, dilations)
+    r: int = 2,
+    slope: float = 0.1,
+    compute_dtype=jnp.bfloat16,
+    tile_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One HiFi-GAN stage — lrelu, ConvTranspose1d(stride r), 3 MRF
+    resblocks, mean — as a single Pallas program. Only valid when
+    C_out = C_in/2 divides 128 and g_out = r*g_in (the V1 tail stages).
+    ups_kernel=None groups the resblocks + mean over an already-upsampled
+    input (C_out = C_in; used for the C=128 stage whose r=8 upsample stays
+    in XLA). Returns [B, T_in * r, C_out] (r treated as 1 when no ups)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    B, T_in, C_in = x.shape
+    cdt = compute_dtype
+
+    mats = []
+    biases = []
+    off = 0
+
+    if ups_kernel is not None:
+        k_up, _, C_out = ups_kernel.shape
+        g_in, g_out = 128 // C_in, 128 // C_out
+        T_out = T_in * r
+        deltas_u, m_u = _packed_upsample_weights(
+            ups_kernel, r, g_in, g_out, cdt
+        )
+        ups_spec = (tuple(deltas_u), off, 0)
+        mats.append(m_u)
+        off += len(deltas_u)
+        biases.append(jnp.tile(ups_bias, g_out))
+        lo_u, hi_u = -min(deltas_u), max(deltas_u)
+    else:
+        C_out = C_in
+        g_in = g_out = 128 // C_in
+        T_out = T_in
+        ups_spec = None
+        lo_u = hi_u = 0
+
+    block_specs = []
+    max_l = max_r = 0
+    for (w1, b1, w2, b2, k, dils) in blocks:
+        spec = []
+        l_rows = r_rows = 0
+        for i_d, d in enumerate(dils):
+            d1, m1 = _packed_weights(w1[i_d], k, d, g_out, cdt)
+            d2, m2 = _packed_weights(w2[i_d], k, 1, g_out, cdt)
+            spec.append(((tuple(d1), off, len(biases)),
+                         (tuple(d2), off + len(d1), len(biases) + 1)))
+            off += len(d1) + len(d2)
+            mats.extend([m1, m2])
+            biases.extend([jnp.tile(b1[i_d], g_out), jnp.tile(b2[i_d], g_out)])
+            l_rows += -min(d1) - min(d2)
+            r_rows += max(d1) + max(d2)
+        block_specs.append(spec)
+        max_l = max(max_l, l_rows)
+        max_r = max(max_r, r_rows)
+
+    w_all = jnp.concatenate(mats, axis=0)
+    b_all = jnp.stack(biases).astype(jnp.float32)
+    h_left = lo_u + max_l
+    h_right = hi_u + max_r
+
+    if tile_rows is None:
+        w_bytes = w_all.shape[0] * 128 * 128 * jnp.dtype(cdt).itemsize
+        tile_rows = 4096
+        while tile_rows > 128:
+            qp = tile_rows + h_left + h_right
+            act = qp * 128 * 4 * 4 + qp * 128 * jnp.dtype(cdt).itemsize
+            if w_bytes + act <= _VMEM_BUDGET:
+                break
+            tile_rows //= 2
+
+    rows = pl.cdiv(T_in, g_in)  # == T_out // g_out when T_in % g_in == 0
+    nt = pl.cdiv(rows, tile_rows)
+    rows_grid = nt * tile_rows
+    qp = tile_rows + h_left + h_right
+
+    xp = jnp.pad(
+        x,
+        ((0, 0),
+         (h_left * g_in,
+          (rows_grid - rows) * g_in + h_right * g_in + (rows * g_in - T_in)),
+         (0, 0)),
+    ).reshape(B, h_left + rows_grid + h_right, 128)
+    starts = jnp.arange(nt) * tile_rows
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xp, (0, s, 0), (B, qp, 128))
+    )(starts).transpose(1, 0, 2, 3)
+
+    kernel = functools.partial(
+        _stage_kernel, ups_spec=ups_spec, block_specs=block_specs,
+        h_left=h_left, slope=slope, tile_rows=tile_rows, seq_out=T_out,
+        g_out=g_out, C_out=C_out, cdt=cdt,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, rows_grid, 128), x.dtype),
+        grid=(B, nt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1, qp, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_rows, 128), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * w_all.shape[0] * B * rows_grid * 128 * 128,
+            bytes_accessed=2 * B * rows_grid * 128 * 4
+            + w_all.shape[0] * 128 * 128 * jnp.dtype(cdt).itemsize,
+            transcendentals=0,
+        ),
+    )(windows, w_all, b_all)
+    return out.reshape(B, rows_grid * g_out, C_out)[:, :T_out, :]
+
+
 def _xla_resblock(x, w1, b1, w2, b2, k: int, dilations, slope: float):
     """Plain-XLA MRF resblock (same math as models/vocoder.ResBlock1) for
     channel widths where XLA already runs near the MXU roofline (C=256
@@ -464,11 +703,46 @@ def hifigan_apply_fused(
     for i, (r, k_up) in enumerate(
         zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
     ):
+        C_in = x.shape[-1]
+        C_out = C_in // 2
+        if (r == 2 and k_up % r == 0 and 2 * ((k_up - r) // 2) == k_up - r
+                and C_in <= 128 and 128 % C_in == 0):
+            # whole stage (lrelu + x2 upsample + 3 resblocks + mean) in ONE
+            # program: the tail stages are where per-op HBM round trips and
+            # repeated pack/unpack dominate
+            blocks = [
+                _stack_resblock_weights(p[f"resblocks_{i}_{j}"], len(rd))
+                + (rk, tuple(rd))
+                for j, (rk, rd) in enumerate(
+                    zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
+                )
+            ]
+            x = fused_upsample_stage(
+                x, p[f"ups_{i}"]["kernel"], p[f"ups_{i}"]["bias"], blocks,
+                r=r, slope=slope, compute_dtype=compute_dtype,
+                interpret=interpret,
+            )
+            continue
         x = lrelu(x)
         x = _conv_transpose1d(
             x, p[f"ups_{i}"]["kernel"], p[f"ups_{i}"]["bias"],
             stride=r, k=k_up, pad=(k_up - r) // 2,
         )
+        if C_out <= _PALLAS_MAX_CHANNELS and 128 % C_out == 0:
+            # grouped kernel: 3 resblocks + mean, one program (the x2
+            # upsample could not be folded in for this stage's rate)
+            blocks = [
+                _stack_resblock_weights(p[f"resblocks_{i}_{j}"], len(rd))
+                + (rk, tuple(rd))
+                for j, (rk, rd) in enumerate(
+                    zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
+                )
+            ]
+            x = fused_upsample_stage(
+                x, None, None, blocks, slope=slope,
+                compute_dtype=compute_dtype, interpret=interpret,
+            )
+            continue
         acc = None
         for j, (rk, rd) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)

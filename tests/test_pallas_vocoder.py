@@ -112,3 +112,85 @@ def test_hifigan_vocoder_fused_flag_matches():
     wx, wf = np.asarray(v_x(mel)), np.asarray(v_f(mel))
     assert wx.shape == wf.shape == (1, 320)
     assert np.max(np.abs(wx - wf)) < 5e-3
+
+
+def test_fused_upsample_stage_matches_flax():
+    """The one-program stage (lrelu + x2 ConvTranspose + 3 MRF resblocks +
+    mean) must match the module-by-module flax computation."""
+    from audio_calm_tpu.models.layers import ConvTranspose1d
+    from audio_calm_tpu.ops.pallas_vocoder import fused_upsample_stage
+
+    rng = np.random.default_rng(7)
+    B, T_in, C_in = 2, 70, 32
+    C_out, r, k_up = 16, 2, 4
+    x = jnp.asarray(rng.standard_normal((B, T_in, C_in)), jnp.float32)
+
+    ups = ConvTranspose1d(C_out, k_up, stride=r, padding=(k_up - r) // 2)
+    ups_p = ups.init(jax.random.PRNGKey(0), x)
+    ref = ups.apply(ups_p, jnp.where(x >= 0, x, x * 0.1))
+
+    blocks, acc = [], None
+    for bi, (k, dils) in enumerate([(3, (1, 3, 5)), (7, (1, 3, 5)),
+                                    (3, (1, 2))]):
+        m = ResBlock1(C_out, k, dils)
+        p = m.init(jax.random.PRNGKey(bi + 1), ref)
+        h = m.apply(p, ref)
+        acc = h if acc is None else acc + h
+        w1, b1, w2, b2 = _stack_resblock_weights(p["params"], len(dils))
+        blocks.append((w1, b1, w2, b2, k, dils))
+    ref_out = acc / 3
+
+    out = fused_upsample_stage(
+        x, ups_p["params"]["kernel"], ups_p["params"]["bias"], blocks,
+        r=r, compute_dtype=jnp.float32, tile_rows=16, interpret=True,
+    )
+    assert out.shape == ref_out.shape == (B, T_in * r, C_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hifigan_apply_fused_with_stage_fusion():
+    """Full generator with C-halving r=2 stages routed through
+    fused_upsample_stage matches the flax generator."""
+    cfg = HiFiGANConfig(
+        upsample_initial_channel=64,
+        upsample_rates=(2, 2),
+        upsample_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilations=((1, 2), (2, 6)),
+    )
+    gen = HiFiGANGenerator(cfg)
+    rng = np.random.default_rng(8)
+    mel = jnp.asarray(rng.standard_normal((1, 60, 80)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(9), mel)
+    ref = gen.apply(params, mel)
+    out = hifigan_apply_fused(params, mel, cfg, compute_dtype=jnp.float32,
+                              interpret=True)
+    assert out.shape == ref.shape == (1, 240)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_resblocks_no_upsample_matches_flax():
+    """ups_kernel=None: bare [3 resblocks + mean] grouping (used for the
+    C=128 stage whose r=8 upsample stays in XLA)."""
+    from audio_calm_tpu.ops.pallas_vocoder import fused_upsample_stage
+
+    rng = np.random.default_rng(10)
+    B, T, C = 1, 75, 16
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    blocks, acc = [], None
+    for bi, (k, dils) in enumerate([(3, (1, 3, 5)), (5, (1, 2))]):
+        m = ResBlock1(C, k, dils)
+        p = m.init(jax.random.PRNGKey(20 + bi), x)
+        h = m.apply(p, x)
+        acc = h if acc is None else acc + h
+        w1, b1, w2, b2 = _stack_resblock_weights(p["params"], len(dils))
+        blocks.append((w1, b1, w2, b2, k, dils))
+    ref = acc / 2
+    out = fused_upsample_stage(x, None, None, blocks,
+                               compute_dtype=jnp.float32, tile_rows=8,
+                               interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
