@@ -217,6 +217,11 @@ class CALMModelConfig:
     latent_std: Any = 1.0
     use_lora: bool = True
     lora: LoRAConfig = field(default_factory=LoRAConfig)
+    # backbone gradient-checkpointing policy: "full" (remat everything,
+    # lowest memory), "dots" (save matmul outputs, skip most backward
+    # recompute — the right trade with training.microbatch_steps since only
+    # one microbatch's saved dots are live), "none" (no remat)
+    remat_policy: str = "full"
     freeze_projector: bool = False
     qwen: Qwen2Config = field(default_factory=Qwen2Config)
     # soft restart (reference: train_calm.py:374-398, asr_config.yaml:36-41)

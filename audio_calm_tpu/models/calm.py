@@ -66,7 +66,8 @@ class QwenCALM(nn.Module):
         self.llm = Qwen2Model(
             c.qwen,
             lora=c.lora if c.use_lora else None,
-            gradient_checkpointing=True,
+            gradient_checkpointing=(c.remat_policy != "none"),
+            remat_policy=c.remat_policy,
             dtype=self.dtype,
         )
         self.input_proj = AudioInputProjector(qdim, use_rope=False, dtype=self.dtype)

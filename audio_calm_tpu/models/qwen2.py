@@ -192,6 +192,11 @@ class Qwen2Model(nn.Module):
     cfg: Qwen2Config
     lora: Optional[LoRAConfig] = None
     gradient_checkpointing: bool = False
+    # "full": recompute everything in backward (lowest memory); "dots":
+    # save matmul outputs (jax.checkpoint_policies.checkpoint_dots) so the
+    # backward skips the expensive MXU recompute — measured lever for the
+    # frozen-backbone + LoRA training step where recompute dominates
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -223,8 +228,12 @@ class Qwen2Model(nn.Module):
 
         block = Qwen2Block
         if self.gradient_checkpointing:
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
             block = nn.remat(
-                Qwen2Block, static_argnums=(5,), prevent_cse=False
+                Qwen2Block, static_argnums=(5,), prevent_cse=False,
+                policy=policy,
             )
         for i in range(c.num_hidden_layers):
             x = block(c, self.lora, name=f"layers_{i}")(

@@ -230,3 +230,42 @@ def test_calm_microbatched_step_matches_envelope(calm_setup):
     # at the flow-matching-noise level (E[loss]≈2 at init)
     assert abs(losses[1] - losses[2]) < 0.6, losses
     assert abs(losses[1] - losses[4]) < 0.6, losses
+
+
+def test_remat_policy_does_not_change_numerics(calm_setup):
+    """model.remat_policy ('full' | 'dots' | 'none') is a pure speed/memory
+    trade: losses and grads must match across policies."""
+    import dataclasses
+
+    from audio_calm_tpu.models.calm import QwenCALM
+
+    model, params, batch = calm_setup
+    tts_batch = {k: v for k, v in batch.items() if k != "labels"}
+
+    def loss_for(policy):
+        m = QwenCALM(dataclasses.replace(model.cfg, remat_policy=policy),
+                     dtype=jnp.float32)
+
+        def f(p):
+            out = m.apply(
+                {"params": p}, tts_batch["text_ids"],
+                tts_batch["attention_mask"], tts_batch["latents"],
+                tts_batch["audio_mask"], train=False,
+                rngs={"flow": jax.random.PRNGKey(0)},
+                method=QwenCALM.forward_tts,
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(f)(params)
+        return float(loss), grads
+
+    l_full, g_full = loss_for("full")
+    for policy in ("dots", "none"):
+        l_p, g_p = loss_for(policy)
+        assert abs(l_p - l_full) < 1e-5
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            g_full, g_p,
+        )
