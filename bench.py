@@ -136,6 +136,31 @@ def main():
 
         return pipeline
 
+    def ode_body_flops(t_aud: int) -> float:
+        """FLOPs of ONE velocity evaluation (the CFG-fused 2B DiT call).
+
+        XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        count (verified: flops(steps=2) == flops(steps=32)), so the
+        pipeline number must be corrected by (steps-1) * body."""
+        b2 = 2 * batch if cfg_scale != 1.0 else batch
+        d = calm.cfg.qwen.hidden_size
+        cond = jnp.zeros((b2, t_aud, d), jnp.bfloat16)
+        xx = jnp.zeros((b2, t_aud, calm.cfg.latent_dim), jnp.bfloat16)
+        tt = jnp.zeros((b2,), jnp.float32)
+        ctx = jnp.zeros((b2, text_ids.shape[1], d), jnp.bfloat16)
+        f = jax.jit(lambda p, c, x, t, cc: calm.apply(
+            p, c, x, t, cc, None, None,
+            method=type(calm).tts_flow_fn,
+        ))
+        try:
+            cost = f.lower(calm_params, cond, xx, tt, ctx
+                           ).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     def measure(t_aud: int, num_frames: int, label: str):
         """-> dict with wall mean/min, rtf (vs real audio produced), flops."""
         pipe = make_pipeline(t_aud, num_frames)
@@ -196,9 +221,13 @@ def main():
             out["wall_min_device_s"] = round(float(np.min(dts)), 4)
             out["rtf_device"] = round(audio_seconds / float(np.min(dts)), 1)
         if flops > 0:
+            # cost analysis counts the 50-step ODE scan body once; add the
+            # remaining (steps-1) evaluations for the true pipeline FLOPs
+            flops += (steps - 1) * ode_body_flops(t_aud)
             out["pipeline_tflops"] = round(flops / 1e12, 2)
+            wall_for_mfu = out.get("wall_min_device_s", wall_mean)
             out["mfu_pct"] = round(
-                100 * flops / wall_mean / V5E_BF16_PEAK_FLOPS, 1
+                100 * flops / wall_for_mfu / V5E_BF16_PEAK_FLOPS, 1
             )
         return out
 

@@ -1,0 +1,127 @@
+"""HTTP serving integration: spawn scripts/serve.py as a real subprocess
+(CPU, tiny model, byte tokenizer), then drive /health, /tts (long-form
+chunked path), and /asr over actual HTTP."""
+
+import json
+import io
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+TINY_YAML = """
+model:
+  latent_dim: 8
+  max_audio_len: 32
+  max_text_len: 96
+  tts_flow_hidden_dim: 32
+  tts_flow_num_layers: 1
+  asr_flow_hidden_dim: 32
+  asr_flow_num_layers: 1
+  flow_num_heads: 4
+  qwen:
+    vocab_size: 512
+    hidden_size: 64
+    intermediate_size: 128
+    num_hidden_layers: 2
+    num_attention_heads: 4
+    num_key_value_heads: 2
+    head_dim: 16
+    rope_theta: 10000.0
+evaluation:
+  audio_buckets: [16, 32]
+  text_buckets: [64, 96]
+"""
+
+PORT = 8731
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = tmp_path_factory.mktemp("serve") / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "serve.py"),
+         "--config", str(cfg), "--cpu", "--byte-tokenizer",
+         "--port", str(PORT)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+    )
+    base = f"http://localhost:{PORT}"
+    deadline = time.time() + 240
+    last = None
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode(errors="replace")
+            raise RuntimeError(f"serve.py exited rc={proc.returncode}:\n{out}")
+        try:
+            with urllib.request.urlopen(base + "/health", timeout=2) as r:
+                if json.load(r)["status"] == "ok":
+                    break
+        except (urllib.error.URLError, OSError) as ex:
+            last = ex
+            time.sleep(2)
+    else:
+        proc.kill()
+        raise RuntimeError(f"server never became healthy: {last}")
+    yield base
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=10) as r:
+        assert json.load(r) == {"status": "ok"}
+
+
+def test_tts_roundtrip_long_text(server):
+    # long enough to exceed one chunk with the byte tokenizer
+    text = ("The quick brown fox jumps over the lazy dog. " * 2
+            + "Pack my box with five dozen jugs! The end.")
+    req = urllib.request.Request(
+        server + "/tts",
+        data=json.dumps({"text": text, "steps": 2, "cfg_scale": 1.5}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == 16000
+        n = w.getnframes()
+    # > one max grid (32 frames * 1024 samples) proves multi-chunk synthesis
+    assert n > 32 * 1024
+
+    # missing text -> 400
+    bad = urllib.request.Request(
+        server + "/tts", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=30)
+    assert ei.value.code == 400
+
+
+def test_asr_accepts_wav(server):
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+    req = urllib.request.Request(server + "/asr", data=buf.getvalue(),
+                                 headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.load(r)
+    assert "text" in out and isinstance(out["text"], str)
