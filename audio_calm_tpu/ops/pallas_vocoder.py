@@ -157,44 +157,6 @@ def _packed_conv(h, mats, deltas, bias, cdt):
     return acc
 
 
-def _resblock_kernel_packed(x_ref, w_ref, b_ref, o_ref, *, specs,
-                            h_left: int, slope: float, tile_rows: int,
-                            seq_len: int, g: int, C: int, cdt):
-    """Packed variant: x_ref [1, 1, Qp, 128] window (g time steps per row),
-    o_ref [1, tile_rows, 128]. specs = per-conv (deltas, w_offset) static
-    metadata; w_ref [sum_n_deltas, 128, 128]; b_ref [2*n_dil, 128]."""
-    i = pl.program_id(1)
-
-    def lrelu(v):
-        return jnp.where(v >= 0, v, v * slope)
-
-    s0 = i * tile_rows - h_left  # packed-row coord of buffer row 0
-
-    def edge_mask(h, start_rows):
-        rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + start_rows
-        lanes = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-        pos = rows * g + lanes // C
-        inside = (pos >= 0) & (pos < seq_len)
-        return jnp.where(inside, h, 0.0)
-
-    cur = x_ref[0, 0, :, :].astype(jnp.float32)  # [Qp, 128]
-    consumed = 0  # rows consumed from the buffer's left edge so far
-    for i_d, (deltas1, off1), (deltas2, off2) in specs:
-        lo1 = -min(deltas1)
-        lo2 = -min(deltas2)
-        mats1 = [w_ref[off1 + n] for n in range(len(deltas1))]
-        mats2 = [w_ref[off2 + n] for n in range(len(deltas2))]
-        h = edge_mask(lrelu(cur), s0 + consumed)
-        h = _packed_conv(h, mats1, deltas1, b_ref[2 * i_d], cdt)
-        h = edge_mask(lrelu(h), s0 + consumed + lo1)
-        h = _packed_conv(h, mats2, deltas2, b_ref[2 * i_d + 1], cdt)
-        # residual alignment: h rows start at cur row (lo1 + lo2)
-        cur = cur[lo1 + lo2 : lo1 + lo2 + h.shape[0], :] + h
-        consumed += lo1 + lo2
-    # after the loop cur row 0 sits at buffer row h_left == tile start
-    o_ref[0, :, :] = cur[:tile_rows, :].astype(o_ref.dtype)
-
-
 def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                      kernel_size: int, dilations: Tuple[int, ...],
                      slope: float, tile: int, seq_len: int, cdt):
@@ -229,94 +191,6 @@ def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o_ref[0, :, :] = cur.astype(o_ref.dtype)
 
 
-def _fused_resblock_packed(
-    x, w1, b1, w2, b2, kernel_size: int, dilations, slope: float,
-    compute_dtype, tile_rows: Optional[int], interpret: bool,
-) -> jnp.ndarray:
-    """Packed small-C path: g = 128//C time steps per 128-lane row, block-
-    Toeplitz weights, every matmul [Q,128]x[128,128] at full MXU width."""
-    B, T, C = x.shape
-    g = 128 // C
-    k = kernel_size
-    cdt = compute_dtype
-
-    # static metadata + stacked packed weights
-    specs = []
-    mats = []
-    off = 0
-    l_rows = r_rows = 0
-    for i_d, d in enumerate(dilations):
-        deltas1, m1 = _packed_weights(w1[i_d], k, d, g, cdt)
-        deltas2, m2 = _packed_weights(w2[i_d], k, 1, g, cdt)
-        specs.append((i_d, (tuple(deltas1), off),
-                      (tuple(deltas2), off + len(deltas1))))
-        off += len(deltas1) + len(deltas2)
-        mats.extend([m1, m2])
-        l_rows += -min(deltas1) - min(deltas2)
-        r_rows += max(deltas1) + max(deltas2)
-    w_all = jnp.concatenate(mats, axis=0)  # [n_total, 128, 128]
-    b_all = jnp.stack(
-        [jnp.tile(b, g) for pair in zip(b1, b2) for b in pair]
-    ).astype(jnp.float32)  # [2*n_dil, 128]
-
-    if tile_rows is None:
-        w_bytes = w_all.shape[0] * 128 * 128 * jnp.dtype(cdt).itemsize
-        tile_rows = 4096
-        while tile_rows > 128:
-            qp = tile_rows + l_rows + r_rows
-            act = qp * 128 * 4 * 3 + qp * 128 * jnp.dtype(cdt).itemsize
-            if w_bytes + act <= _VMEM_BUDGET:
-                break
-            tile_rows //= 2
-
-    rows = pl.cdiv(T, g)  # packed rows covering the sequence
-    nt = pl.cdiv(rows, tile_rows)
-    rows_grid = nt * tile_rows
-    qp = tile_rows + l_rows + r_rows
-
-    # pad to whole packed rows + asymmetric halo + grid rounding, then pack
-    xp = jnp.pad(
-        x,
-        ((0, 0),
-         (l_rows * g, (rows_grid - rows) * g + r_rows * g + (rows * g - T)),
-         (0, 0)),
-    )
-    xp = xp.reshape(B, l_rows + rows_grid + r_rows, g * C)
-    starts = jnp.arange(nt) * tile_rows
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(xp, (0, s, 0), (B, qp, 128))
-    )(starts).transpose(1, 0, 2, 3)  # [B, nt, qp, 128]
-
-    kernel = functools.partial(
-        _resblock_kernel_packed, specs=specs, h_left=l_rows, slope=slope,
-        tile_rows=tile_rows, seq_len=T, g=g, C=C, cdt=cdt,
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, rows_grid, 128), x.dtype),
-        grid=(B, nt),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        in_specs=[
-            pl.BlockSpec((1, 1, qp, 128), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_rows, 128), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * w_all.shape[0] * B * rows_grid * 128 * 128,
-            bytes_accessed=2 * B * rows_grid * 128 * 4
-            + w_all.shape[0] * 128 * 128 * jnp.dtype(cdt).itemsize,
-            transcendentals=0,
-        ),
-    )(windows, w_all, b_all)
-    return out.reshape(B, rows_grid * g, C)[:, :T, :]
-
-
 def fused_resblock(
     x: jnp.ndarray,  # [B, T, C]
     w1: jnp.ndarray,  # [n_d, k, C, C] flax Conv layout per tap
@@ -336,9 +210,11 @@ def fused_resblock(
         interpret = _auto_interpret()
     B, T, C = x.shape
     if C < 128 and 128 % C == 0:
-        return _fused_resblock_packed(
-            x, w1, b1, w2, b2, kernel_size, tuple(dilations), slope,
-            compute_dtype, tile, interpret,
+        # packed lane layout: a single-block instance of the stage kernel
+        return fused_upsample_stage(
+            x, None, None, [(w1, b1, w2, b2, kernel_size, tuple(dilations))],
+            slope=slope, compute_dtype=compute_dtype, tile_rows=tile,
+            interpret=interpret,
         )
     n_d, k = w1.shape[0], kernel_size
     H = _halo(k, dilations)
