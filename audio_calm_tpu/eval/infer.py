@@ -388,6 +388,48 @@ class CALMInference:
             return np.asarray(latents[0]), n
         return np.asarray(latents[0, :n]), n
 
+    def tts_long_stream(self, text: str, rng: jax.Array, render,
+                        steps: int = 50, cfg_scale: float = 2.5,
+                        method: str = "euler",
+                        time_schedule: str = "uniform",
+                        crossfade_ms: float = 20.0,
+                        max_chunk_tokens: Optional[int] = None):
+        """Generator form of tts_long: yields waveform pieces as each text
+        chunk is synthesized (time-to-first-audio = one chunk, not the
+        whole utterance). Crossfades are applied across yields by holding
+        back the fade-length tail of each chunk; the concatenation of the
+        yielded pieces equals tts_long's output exactly."""
+        budget = max_chunk_tokens or self.model.cfg.max_text_len
+        chunks = split_text_for_tts(text, self.tokenizer, budget)
+        fade = int(16000 * crossfade_ms / 1000.0)
+        held = None  # tail of the previous chunk, not yet emitted
+        for chunk in chunks:
+            rng, k = jax.random.split(rng)
+            latents, n = self.tts(
+                chunk, k, steps=steps, cfg_scale=cfg_scale, method=method,
+                time_schedule=time_schedule, pad_to_grid=True,
+            )
+            wav = np.asarray(render(latents, n), np.float32)
+            if held is not None:
+                f = min(fade, len(held), len(wav))
+                if f > 0:
+                    t = np.linspace(0.0, np.pi / 2.0, f, dtype=np.float32)
+                    wav = np.concatenate([
+                        held[: len(held) - f],
+                        held[len(held) - f :] * np.cos(t)
+                        + wav[:f] * np.sin(t),
+                        wav[f:],
+                    ])
+                else:
+                    wav = np.concatenate([held, wav])
+            if len(wav) > fade:
+                yield wav[: len(wav) - fade]
+                held = wav[len(wav) - fade :]
+            else:
+                held = wav
+        if held is not None and len(held):
+            yield held
+
     def tts_long(self, text: str, rng: jax.Array, render,
                  steps: int = 50, cfg_scale: float = 2.5,
                  method: str = "euler", time_schedule: str = "uniform",
@@ -399,17 +441,14 @@ class CALMInference:
         eval.render.make_renderer callable. Short text degenerates to a
         single tts() call. (Beyond reference: it truncates at max_text_len.)
         """
-        budget = max_chunk_tokens or self.model.cfg.max_text_len
-        chunks = split_text_for_tts(text, self.tokenizer, budget)
-        wavs = []
-        for chunk in chunks:
-            rng, k = jax.random.split(rng)
-            latents, n = self.tts(
-                chunk, k, steps=steps, cfg_scale=cfg_scale, method=method,
-                time_schedule=time_schedule, pad_to_grid=True,
-            )
-            wavs.append(render(latents, n))
-        return crossfade_concat(wavs, crossfade_ms=crossfade_ms)
+        pieces = list(self.tts_long_stream(
+            text, rng, render, steps=steps, cfg_scale=cfg_scale,
+            method=method, time_schedule=time_schedule,
+            crossfade_ms=crossfade_ms, max_chunk_tokens=max_chunk_tokens,
+        ))
+        if not pieces:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(pieces)
 
     def asr(self, latents: np.ndarray, rng: jax.Array, steps: int = 20,
             cfg_scale: float = 1.0) -> str:

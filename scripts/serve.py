@@ -92,6 +92,16 @@ def build_engine(args):
                            crossfade_ms=cfg.evaluation.crossfade_ms)
         return np.clip(wav, -1, 1)
 
+    def tts_stream(text, steps, cfg_scale):
+        rng_state[0], k = jax.random.split(rng_state[0])
+        for piece in inf.tts_long_stream(
+            text, k, render, steps=steps, cfg_scale=cfg_scale,
+            method=cfg.evaluation.ode_method,
+            time_schedule=cfg.evaluation.time_schedule,
+            crossfade_ms=cfg.evaluation.crossfade_ms,
+        ):
+            yield np.clip(piece, -1, 1)
+
     def asr(wav_f32, steps):
         w = process_audio_chunk(jnp.asarray(wav_f32))
         mel = pad_to_stride(frontend(w[None]), vae_cfg.total_stride)
@@ -99,7 +109,18 @@ def build_engine(args):
         rng_state[0], k = jax.random.split(rng_state[0])
         return inf.asr(np.asarray(mu[0]), k, steps=steps)
 
-    return tts, asr, cfg
+    return tts, tts_stream, asr, cfg
+
+
+def streaming_wav_header(sr=16000):
+    """44-byte PCM16 mono WAV header with unknown-length sentinels
+    (0xFFFFFFFF RIFF/data sizes — the streaming convention players accept
+    on chunked responses)."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
 
 
 def wav_bytes(x, sr=16000):
@@ -136,13 +157,18 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
-    tts, asr, cfg = build_engine(args)
+    tts, tts_stream, asr, cfg = build_engine(args)
     e = cfg.evaluation
     # threaded server so /health and slow clients don't block each other;
     # device work itself is serialized (one chip, one engine)
     device_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked Transfer-Encoding (streaming /tts) requires HTTP/1.1;
+        # every non-streamed response sets Content-Length so keep-alive
+        # semantics stay correct
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *a):
             print(f"[serve] {fmt % a}", file=sys.stderr)
 
@@ -168,9 +194,33 @@ def main(argv=None):
                     text = req.get("text", "")
                     if not text:
                         return self._json(400, {"error": "missing 'text'"})
+                    steps = int(req.get("steps", e.steps))
+                    scale = float(req.get("cfg_scale", e.cfg_scale))
+                    if req.get("stream"):
+                        # chunked streaming: audio goes out as each text
+                        # chunk is synthesized -> time-to-first-audio is one
+                        # chunk, not the whole utterance. WAV header carries
+                        # the unknown-length sentinel (0xFFFFFFFF sizes),
+                        # the streaming-WAV convention.
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+
+                        def emit(chunk: bytes):
+                            self.wfile.write(
+                                f"{len(chunk):x}\r\n".encode()
+                                + chunk + b"\r\n"
+                            )
+
+                        emit(streaming_wav_header())
+                        with device_lock:
+                            for piece in tts_stream(text, steps, scale):
+                                emit((piece * 32767).astype("<i2").tobytes())
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
                     with device_lock:
-                        wav = tts(text, int(req.get("steps", e.steps)),
-                                  float(req.get("cfg_scale", e.cfg_scale)))
+                        wav = tts(text, steps, scale)
                     data = wav_bytes(wav)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")

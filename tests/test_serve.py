@@ -44,23 +44,27 @@ PORT = 8731
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
-    cfg = tmp_path_factory.mktemp("serve") / "tiny.yaml"
+    root = tmp_path_factory.mktemp("serve")
+    cfg = root / "tiny.yaml"
     cfg.write_text(TINY_YAML)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # log to a FILE: an unread subprocess.PIPE fills at ~64 KB and then
+    # blocks the server mid-request on its own log writes
+    log = open(root / "serve.log", "wb")
     proc = subprocess.Popen(
         [sys.executable,
          os.path.join(os.path.dirname(__file__), "..", "scripts", "serve.py"),
          "--config", str(cfg), "--cpu", "--byte-tokenizer",
          "--port", str(PORT)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        stdout=log, stderr=subprocess.STDOUT, env=env,
     )
     base = f"http://localhost:{PORT}"
     deadline = time.time() + 240
     last = None
     while time.time() < deadline:
         if proc.poll() is not None:
-            out = proc.stdout.read().decode(errors="replace")
+            out = (root / "serve.log").read_bytes().decode(errors="replace")
             raise RuntimeError(f"serve.py exited rc={proc.returncode}:\n{out}")
         try:
             with urllib.request.urlopen(base + "/health", timeout=2) as r:
@@ -125,3 +129,46 @@ def test_asr_accepts_wav(server):
     with urllib.request.urlopen(req, timeout=600) as r:
         out = json.load(r)
     assert "text" in out and isinstance(out["text"], str)
+
+
+def test_tts_streaming_chunked(server):
+    """stream:true -> chunked transfer; audio arrives in multiple chunks
+    (header first), and the total PCM length matches the non-streamed
+    response for the same text (length prediction is text-deterministic)."""
+    import http.client
+
+    text = ("The quick brown fox jumps over the lazy dog. " * 2
+            + "Pack my box with five dozen jugs! The end.")
+    payload = json.dumps({"text": text, "steps": 2, "cfg_scale": 1.5,
+                          "stream": True})
+    conn = http.client.HTTPConnection("localhost", PORT, timeout=600)
+    conn.request("POST", "/tts", body=payload,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers["Transfer-Encoding"] == "chunked"
+    assert resp.headers["Content-Type"] == "audio/wav"
+    # http.client decodes the chunked framing; read incrementally
+    pieces = []
+    while True:
+        b = resp.read(65536)
+        if not b:
+            break
+        pieces.append(b)
+    conn.close()
+    data = b"".join(pieces)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    n_stream = (len(data) - 44) // 2
+
+    # non-streamed reference for the same text
+    req = urllib.request.Request(
+        server + "/tts",
+        data=json.dumps({"text": text, "steps": 2,
+                         "cfg_scale": 1.5}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        ref = r.read()
+    with wave.open(io.BytesIO(ref)) as w:
+        n_ref = w.getnframes()
+    assert n_stream == n_ref > 32 * 1024
