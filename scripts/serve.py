@@ -213,11 +213,21 @@ def main(argv=None):
                                 + chunk + b"\r\n"
                             )
 
-                        emit(streaming_wav_header())
-                        with device_lock:
-                            for piece in tts_stream(text, steps, scale):
-                                emit((piece * 32767).astype("<i2").tobytes())
-                        self.wfile.write(b"0\r\n\r\n")
+                        try:
+                            emit(streaming_wav_header())
+                            with device_lock:
+                                for piece in tts_stream(text, steps, scale):
+                                    emit((piece * 32767).astype("<i2")
+                                         .tobytes())
+                            self.wfile.write(b"0\r\n\r\n")
+                        except Exception as ex:
+                            # headers are already out: abort the connection
+                            # (missing chunked terminator = client sees a
+                            # truncated stream) instead of corrupting the
+                            # framing with a second response
+                            print(f"[serve] stream aborted: {ex}",
+                                  file=sys.stderr)
+                            self.close_connection = True
                         return
                     with device_lock:
                         wav = tts(text, steps, scale)
