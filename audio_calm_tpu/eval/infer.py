@@ -195,15 +195,20 @@ def split_text_for_tts(
     FULL prompt (template + chunk) stays within `max_tokens`; a single
     over-budget sentence is hard-split on whitespace. Returns a non-empty
     list of chunk strings whose concatenation covers the input text.
+
+    The packing check tokenizes the ASSEMBLED prompt (template.format(s)),
+    not template + chunk separately: BPE boundary merges/splits at the
+    template seam can make the assembled count differ from the sum, and a
+    separately-budgeted chunk could then exceed max_tokens and be silently
+    tail-truncated downstream.
     """
     import re
 
-    overhead = len(tokenizer.encode(prompt_template.format(""),
-                                    add_special_tokens=False))
-    budget = max(max_tokens - overhead, 1)
-
     def n_tok(s: str) -> int:
-        return len(tokenizer.encode(s, add_special_tokens=False))
+        return len(tokenizer.encode(prompt_template.format(s),
+                                    add_special_tokens=False))
+
+    budget = max_tokens
 
     # sentence split, keeping delimiters attached
     parts = [p for p in re.split(r"(?<=[.!?;:])\s+", text.strip()) if p]
@@ -338,6 +343,14 @@ class CALMInference:
         L = len(ids)
         bucket = next((b for b in self.text_buckets if b >= L),
                       self.text_buckets[-1])
+        if L > bucket:
+            import warnings
+
+            warnings.warn(
+                f"prompt of {L} tokens truncated to largest text bucket "
+                f"{bucket}; content (possibly the ChatML suffix) was cut",
+                stacklevel=2,
+            )
         ids = ids[:bucket]
         pad_id = getattr(self.tokenizer, "pad_token_id", None) or 0
         out = np.full((bucket,), pad_id, np.int32)
@@ -400,6 +413,10 @@ class CALMInference:
         back the fade-length tail of each chunk; the concatenation of the
         yielded pieces equals tts_long's output exactly."""
         budget = max_chunk_tokens or self.model.cfg.max_text_len
+        if self.text_buckets:
+            # _prompt_arrays truncates past the largest bucket; keep the
+            # chunk budget inside it so no chunk content is silently cut
+            budget = min(budget, self.text_buckets[-1])
         chunks = split_text_for_tts(text, self.tokenizer, budget)
         fade = int(16000 * crossfade_ms / 1000.0)
         held = None  # tail of the previous chunk, not yet emitted

@@ -226,8 +226,13 @@ class Qwen2Model(nn.Module):
         pad = attention_mask.astype(bool)[:, None, None, :]  # keys valid
         mask = causal[None, None, :, :] & pad
 
+        if self.remat_policy not in ("full", "dots", "none"):
+            raise ValueError(
+                f"unknown remat_policy {self.remat_policy!r}; "
+                "expected one of 'full', 'dots', 'none'"
+            )
         block = Qwen2Block
-        if self.gradient_checkpointing:
+        if self.gradient_checkpointing and self.remat_policy != "none":
             policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.checkpoint_dots

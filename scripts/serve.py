@@ -215,10 +215,20 @@ def main(argv=None):
 
                         try:
                             emit(streaming_wav_header())
-                            with device_lock:
-                                for piece in tts_stream(text, steps, scale):
-                                    emit((piece * 32767).astype("<i2")
-                                         .tobytes())
+                            # chunk-granular locking: hold the device only
+                            # while synthesizing the next piece; the socket
+                            # write happens OUTSIDE the lock so a slow or
+                            # stalled client can't block other /tts and
+                            # /asr requests, and concurrent requests
+                            # interleave at chunk granularity
+                            gen = tts_stream(text, steps, scale)
+                            while True:
+                                with device_lock:
+                                    piece = next(gen, None)
+                                if piece is None:
+                                    break
+                                emit((piece * 32767).astype("<i2")
+                                     .tobytes())
                             self.wfile.write(b"0\r\n\r\n")
                         except Exception as ex:
                             # headers are already out: abort the connection
@@ -250,8 +260,12 @@ def main(argv=None):
             except Exception as ex:  # surface, don't crash the server
                 return self._json(500, {"error": str(ex)})
 
+    # --port 0 binds an ephemeral port; the "serving on :<port>" line is the
+    # contract test harnesses parse to find it
     srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"serving on :{args.port} (tts steps={e.steps} cfg={e.cfg_scale})")
+    port = srv.server_address[1]
+    print(f"serving on :{port} (tts steps={e.steps} cfg={e.cfg_scale})",
+          flush=True)
     srv.serve_forever()
 
 

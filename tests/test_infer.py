@@ -182,6 +182,33 @@ def test_split_text_hard_splits_oversized_sentence():
     assert " ".join(chunks).split() == text.split()
 
 
+def test_split_text_budgets_assembled_prompt_not_sum():
+    """A BPE-style tokenizer can tokenize template.format(chunk) to MORE
+    tokens than tokens(template) + tokens(chunk) (seam effects); the packer
+    must budget the assembled prompt directly (ADVICE r2)."""
+    from audio_calm_tpu.eval.infer import TTS_PROMPT, split_text_for_tts
+
+    class SeamTokenizer:
+        def encode(self, s, add_special_tokens=False):
+            n = len(s.split())
+            # pathological seam: chunks starting with "Zed" cost 5 extra
+            # tokens when glued to the template's "text:\n" line
+            if "text:\nZed" in s:
+                n += 5
+            return list(range(n))
+
+    tok = SeamTokenizer()
+    text = ("Zed went home early today because rain. "
+            "Zed ate beans and toast for dinner. "
+            "Zed slept soundly through the night.")
+    overhead = len(tok.encode(TTS_PROMPT.format("")))
+    max_tokens = overhead + 12  # each sentence alone fits; seam tax doesn't
+    chunks = split_text_for_tts(text, tok, max_tokens)
+    for c in chunks:
+        assert len(tok.encode(TTS_PROMPT.format(c))) <= max_tokens
+    assert " ".join(chunks).split() == text.split()
+
+
 def test_crossfade_concat():
     from audio_calm_tpu.eval.infer import crossfade_concat
 

@@ -80,6 +80,16 @@ def test_gradient_checkpointing_same_output():
     )
 
 
+def test_remat_policy_typo_raises():
+    """A misspelled remat_policy must fail loudly, not silently fall back
+    to full remat (ADVICE r2)."""
+    model = Qwen2Model(CFG, gradient_checkpointing=True, remat_policy="dot",
+                       dtype=jnp.float32)
+    x = jnp.zeros((1, 4, CFG.hidden_size))
+    with pytest.raises(ValueError, match="remat_policy"):
+        model.init(jax.random.PRNGKey(0), x)
+
+
 def test_parity_vs_hf_transformers():
     torch = pytest.importorskip("torch")
     transformers = pytest.importorskip("transformers")

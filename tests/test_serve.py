@@ -39,9 +39,6 @@ evaluation:
   text_buckets: [64, 96]
 """
 
-PORT = 8731
-
-
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
     root = tmp_path_factory.mktemp("serve")
@@ -56,16 +53,29 @@ def server(tmp_path_factory):
         [sys.executable,
          os.path.join(os.path.dirname(__file__), "..", "scripts", "serve.py"),
          "--config", str(cfg), "--cpu", "--byte-tokenizer",
-         "--port", str(PORT)],
+         "--port", "0"],  # ephemeral port: no collision with stale servers
         stdout=log, stderr=subprocess.STDOUT, env=env,
     )
-    base = f"http://localhost:{PORT}"
-    deadline = time.time() + 240
+    # generous deadline: under full-suite load on the 1-core host, engine
+    # build + first /health can take minutes (it passed at 240 s in
+    # isolation but flaked in-suite)
+    deadline = time.time() + 600
     last = None
+    port = None
     while time.time() < deadline:
         if proc.poll() is not None:
             out = (root / "serve.log").read_bytes().decode(errors="replace")
             raise RuntimeError(f"serve.py exited rc={proc.returncode}:\n{out}")
+        if port is None:
+            import re
+
+            m = re.search(rb"serving on :(\d+)",
+                          (root / "serve.log").read_bytes())
+            if not m:
+                time.sleep(1)
+                continue
+            port = int(m.group(1))
+        base = f"http://localhost:{port}"
         try:
             with urllib.request.urlopen(base + "/health", timeout=2) as r:
                 if json.load(r)["status"] == "ok":
@@ -141,7 +151,8 @@ def test_tts_streaming_chunked(server):
             + "Pack my box with five dozen jugs! The end.")
     payload = json.dumps({"text": text, "steps": 2, "cfg_scale": 1.5,
                           "stream": True})
-    conn = http.client.HTTPConnection("localhost", PORT, timeout=600)
+    port = int(server.rsplit(":", 1)[1])
+    conn = http.client.HTTPConnection("localhost", port, timeout=600)
     conn.request("POST", "/tts", body=payload,
                  headers={"Content-Type": "application/json"})
     resp = conn.getresponse()
