@@ -36,3 +36,37 @@ def test_calm_yaml():
     assert cfg.data.task_mode == "mix" and cfg.data.task_prob_tts == 0.5
     assert cfg.data.max_text_len == 96 and cfg.data.max_audio_len == 384
     assert set(cfg.data.datasets) == {"asr", "tts"}
+
+
+def test_shipped_training_fits_one_chip():
+    """The measured single-chip memory envelope (BASELINE.md): ASR batches
+    with the 481-token remat'd backbone OOM a 16 GB v5e unless the
+    per-microbatch slice is <= 2 samples; TTS fits at <= 16. The shipped
+    configs must carry those recipes out of the box (VERDICT r2 weak #1)."""
+    for name, asr_limit, tts_limit in (
+        ("configs/asr.yaml", 2, None),
+        ("configs/calm.yaml", 2, 16),
+        ("configs/tts.yaml", None, 16),
+    ):
+        cfg = load_config(name, cls=CALMConfig)
+        t = cfg.training
+        assert t.per_device_train_batch_size % t.microbatch_steps == 0, name
+        per_micro = t.per_device_train_batch_size // t.microbatch_steps
+        carries_asr = cfg.data.task_mode in ("asr", "mix")
+        if carries_asr and asr_limit is not None:
+            assert per_micro <= asr_limit, (name, per_micro)
+        if tts_limit is not None and cfg.data.task_mode in ("tts", "mix"):
+            assert per_micro <= tts_limit, (name, per_micro)
+
+
+def test_shipped_eval_uses_buckets():
+    """Out-of-the-box eval/serve must not pay the full 384-frame grid for
+    every utterance: the TTS-capable configs ship bucket ladders whose top
+    equals the max lengths (VERDICT r2 weak #1)."""
+    for name in ("configs/tts.yaml", "configs/calm.yaml"):
+        cfg = load_config(name, cls=CALMConfig)
+        e = cfg.evaluation
+        assert e.audio_buckets == sorted(e.audio_buckets)
+        assert e.audio_buckets[-1] == cfg.data.max_audio_len
+        assert e.text_buckets == sorted(e.text_buckets)
+        assert e.text_buckets[-1] == cfg.data.max_text_len
