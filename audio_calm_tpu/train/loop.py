@@ -58,6 +58,7 @@ def run_training(
     eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
     batch_filter: Optional[Callable[[Dict], Dict]] = None,
     step_selector: Optional[Callable[[Dict], Callable]] = None,
+    step_flops: Optional[Callable[[Dict], float]] = None,
 ) -> TrainState:
     """Run up to total_steps steps.
 
@@ -70,6 +71,13 @@ def run_training(
     restored step, so the epoch head is not replayed (the reference's HF
     Trainer default skips consumed batches; a step-folded seed is the
     shuffle-equivalent for our infinite samplers).
+
+    step_flops(raw_batch) -> FLOPs of the step that batch dispatches
+    (pre-filter, so it can route on batch["task"]). When provided, each
+    logging flush carries achieved-MFU against the local chip's bf16 peak
+    alongside samples/sec — the reference's one-shot thop probe
+    (train_calm.py:521-567) made continuous. samples/sec counts this
+    process's shard (leading dim of the first array leaf).
 
     Best-checkpoint retention: when cfg.load_best_model_at_end, the orbax
     manager ranks steps by cfg.metric_for_best_model (eval loss when eval_fn
@@ -116,11 +124,24 @@ def run_training(
     last_train_loss: Optional[float] = None
     t_last = time.perf_counter()
     step_idx = int(state.step)
+    peak_flops = None
+    if step_flops is not None:
+        from audio_calm_tpu.utils.profiling import device_peak_flops
+
+        peak_flops = device_peak_flops()
+    window_samples = 0
+    window_flops = 0.0
 
     for batch in batches:
         if step_idx >= total_steps:
             break
         fn = step_selector(batch) if step_selector else step_fn
+        window_samples += next(
+            (v.shape[0] for v in batch.values()
+             if getattr(v, "ndim", 0) >= 1), 0
+        )
+        if step_flops is not None:
+            window_flops += step_flops(batch)
         if batch_filter:
             batch = batch_filter(batch)
         if frozen is not None:
@@ -139,10 +160,15 @@ def run_training(
 
         if step_idx % cfg.logging_steps == 0:
             now = time.perf_counter()
+            dt = now - t_last
             out = {k: meters[k] / max(counts.get(k, 1), 1) for k in meters}
-            out["steps_per_sec"] = cfg.logging_steps / (now - t_last)
+            out["steps_per_sec"] = cfg.logging_steps / dt
+            out["samples_per_sec"] = window_samples / dt
+            if window_flops and peak_flops:
+                out["mfu_pct"] = 100.0 * window_flops / dt / peak_flops
             logger.log(step_idx, out)
             meters, counts = {}, {}
+            window_samples, window_flops = 0, 0.0
             t_last = now
 
         if eval_fn is not None and step_idx % cfg.eval_steps == 0:

@@ -34,6 +34,41 @@ def flops_estimate(fn: Callable, *args, **kwargs) -> Dict[str, float]:
     }
 
 
+def lowered_flops(fn: Callable, *args, **kwargs) -> float:
+    """FLOPs of fn on the given (possibly abstract ShapeDtypeStruct) args,
+    from the pre-compile lowering — no executable is built, so probing a
+    geometry that would OOM (or cost a multi-minute remote TPU compile) is
+    safe. Counts the unoptimized HLO; matmul-dominated programs match the
+    compiled count to ~1%. NOTE: a lax.scan body is counted ONCE regardless
+    of trip count — probe scan-free variants (e.g. microbatch=1) instead.
+    """
+    cost = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", -1.0))
+
+
+# bf16 peak FLOP/s per chip, by jax device_kind substring (public specs).
+_PEAK_BF16 = (
+    ("v5 lite", 197e12),  # v5e
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v6 lite", 918e12),  # v6e / Trillium
+    ("v6e", 918e12),
+    ("v4", 275e12),
+)
+
+
+def device_peak_flops(device=None) -> Optional[float]:
+    """Per-chip bf16 peak FLOP/s for MFU math, or None when unknown (CPU)."""
+    device = device or jax.devices()[0]
+    kind = device.device_kind.lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """xprof-compatible profiler trace: `with trace('/tmp/tb'): step(...)`."""

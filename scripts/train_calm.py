@@ -151,6 +151,63 @@ def main(argv=None):
     def step_selector(batch):
         return steps[batch["task"]]
 
+    # FLOPs probe (reference train_calm.py:521-567 thop probe, made exact):
+    # lower a scan-free microbatch=1 twin of each task step — XLA counts a
+    # lax.scan body once, so the k-microbatch step itself undercounts — and
+    # feed per-batch FLOPs to the loop for achieved-MFU logging. Lowering
+    # never compiles or executes, so the full-batch geometry can't OOM.
+    from audio_calm_tpu.utils.profiling import device_peak_flops, lowered_flops
+
+    state_sd = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
+    frozen_sd = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), frozen)
+    rng_sd = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    probe_steps = {task: make_calm_step(model, tx, task, microbatch=1)
+                   for task in steps}
+    _flops_cache = {}
+
+    def _batch_sd(task, B, L, t_aud, label_len):
+        sd = jax.ShapeDtypeStruct
+        fake = dict(
+            text_ids=sd((B, L), jnp.int32),
+            attention_mask=sd((B, L), jnp.int32),
+            latents=sd((B, t_aud, m.latent_dim), jnp.float32),
+            audio_mask=sd((B, t_aud), jnp.int32),
+        )
+        if task == "asr":
+            fake["labels"] = sd((B, label_len), jnp.int32)
+        return fake
+
+    def step_flops(batch):
+        task = batch["task"]
+        B, L = batch["text_ids"].shape
+        t_aud = batch["latents"].shape[1]
+        label_len = (batch["labels"].shape[1]
+                     if task == "asr" and "labels" in batch else 0)
+        key = (task, B, L, t_aud, label_len)
+        if key not in _flops_cache:
+            _flops_cache[key] = lowered_flops(
+                probe_steps[task], state_sd, frozen_sd,
+                _batch_sd(task, B, L, t_aud, label_len), rng_sd)
+        return _flops_cache[key]
+
+    peak = device_peak_flops()
+    for task in steps:
+        fl = step_flops({
+            "task": task,
+            "text_ids": np.zeros((global_bs, d.max_text_len)),
+            "latents": np.zeros((global_bs, d.max_audio_len, 1)),
+            "labels": np.zeros((global_bs, d.max_text_len)),
+        })
+        line = (f"{task} step: {fl / 1e12:.2f} TFLOPs at max grid"
+                if fl >= 1e11 else
+                f"{task} step: {fl / 1e9:.2f} GFLOPs at max grid")
+        if peak:
+            line += (f" ({fl / peak * 1e3:.1f} ms at {peak / 1e12:.0f}"
+                     " TFLOP/s peak)")
+        print(line)
+
     n_proc = jax.process_count()
 
     def batch_filter(batch):
@@ -227,7 +284,7 @@ def main(argv=None):
     state = run_training(
         None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),
         frozen=frozen, step_selector=step_selector, batch_filter=batch_filter,
-        eval_fn=eval_fn,
+        eval_fn=eval_fn, step_flops=step_flops,
     )
 
     # component-sharded export for eval / soft restart

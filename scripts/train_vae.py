@@ -78,7 +78,25 @@ def main(argv=None):
 
     tx = make_optimizer(cfg.training, trainable, vae_param_label, total_steps)
     state = init_train_state(trainable, tx)
-    step, state, _ = shard_step(make_vae_step(model, tx), mesh, state)
+    raw_step = make_vae_step(model, tx)
+    step, state, _ = shard_step(raw_step, mesh, state)
+
+    # FLOPs probe at train start (reference train_calm.py:521-567 thop
+    # probe); the VAE step has no scan so its own lowering counts exactly
+    from audio_calm_tpu.utils.profiling import device_peak_flops, lowered_flops
+
+    sd = jax.ShapeDtypeStruct
+    step_fl = lowered_flops(
+        raw_step,
+        jax.tree.map(lambda a: sd(a.shape, a.dtype), state),
+        {"mel": sd((global_bs, cfg.data.crop_size, cfg.model.in_channels),
+                   jnp.float32)},
+        sd((2,), jnp.uint32),
+    )
+    peak = device_peak_flops()
+    print(f"vae step: {step_fl / 1e9:.2f} GFLOPs"
+          + (f" ({step_fl / peak * 1e3:.2f} ms at peak)" if peak else ""))
+    state_step_flops = lambda b: step_fl  # noqa: E731
 
     eval_fn = None
     if cfg.data.eval_data_dir:
@@ -142,7 +160,8 @@ def main(argv=None):
 
     state = run_training(step, state, batches, t, total_steps,
                          jax.random.PRNGKey(t.seed), eval_fn=eval_fn,
-                         batch_filter=batch_filter)
+                         batch_filter=batch_filter,
+                         step_flops=state_step_flops)
 
     # export final params in the {"params": ...} layout every consumer of
     # --vae_ckpt expects (process_dataset latent extraction, eval_vae,
