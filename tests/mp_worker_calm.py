@@ -1,0 +1,181 @@
+"""Worker + shared builders for the 2-process CALM data-path test.
+
+Usage: python mp_worker_calm.py <coordinator> <process_id> <num_procs> \
+           <data_dir> <out_file>
+
+Covers the branch test_multiprocess.py's VAE run does not
+(collator.calm_batch_iterator process_count>1, collator.py:142-155): the
+shared-order task stream, per-process row slicing, and the zero-stub
+lock-step for corrupt items. Each process runs 3 task-routed CALM train
+steps on a dp mesh over all global devices; rank 0 records the per-step
+losses so the parent can compare against a host-side assembly of the same
+sharded iterators (any cross-process desync — task draw, order, stub
+placement — changes the global batch and the loss).
+
+Module-level builders are imported by tests/test_multiprocess.py so the
+single-process comparator constructs byte-identical model and data.
+"""
+
+import sys
+
+import numpy as np
+
+
+class StubTok:
+    eos_token_id = 9
+    pad_token_id = 0
+
+    def encode(self, text, add_special_tokens=False):
+        return [(ord(c) % 50) + 1 for c in text][:64]
+
+
+LATENT_DIM = 8
+GLOBAL_BATCH = 4
+N_STEPS = 3
+
+
+def make_store(root):
+    """12 tts+asr items under <root>/dev; item 5's latent file is corrupt
+    garbage so CalmDataset.get returns None for it (zero-stub path)."""
+    import os
+
+    d = os.path.join(root, "dev", "1")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(12):
+        fid = f"1-{i:04d}"
+        path = os.path.join(d, fid + ".npz")
+        if i == 5:
+            with open(path, "wb") as f:
+                f.write(b"not an npz")
+        else:
+            np.savez(path, latent=rng.standard_normal(
+                (6 + i, LATENT_DIM)).astype(np.float32))
+        lines.append(f"{fid} calm sample number {i}")
+    with open(os.path.join(d, "1.trans.txt"), "w") as f:
+        f.write("\n".join(lines))
+    return root
+
+
+def build_dataset(data_dir):
+    from audio_calm_tpu.data.datasets import CalmDataset
+
+    return CalmDataset(
+        StubTok(),
+        asr_latent_dir=data_dir, asr_subsets="dev",
+        tts_latent_dir=data_dir, tts_subsets="dev",
+        max_text_len=16, max_audio_len=24, task_mode="mix",
+    )
+
+
+def build_model_and_steps(mesh):
+    """-> (steps dict, state, frozen); deterministic across processes."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_calm_tpu.config import (
+        CALMModelConfig, LoRAConfig, Qwen2Config, TrainingConfig,
+    )
+    from audio_calm_tpu.models.calm import QwenCALM
+    from audio_calm_tpu.train.optim import (
+        calm_param_label, make_optimizer, partition_params,
+    )
+    from audio_calm_tpu.train.steps import (
+        init_train_state, make_calm_step, shard_step,
+    )
+
+    cfg = CALMModelConfig(
+        latent_dim=LATENT_DIM, max_audio_len=24, max_text_len=16,
+        tts_flow_hidden_dim=32, tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=64),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    B = GLOBAL_BATCH
+    ids = jnp.zeros((B, 16), jnp.int32)
+    mask = jnp.ones((B, 16), jnp.int32)
+    lat = jnp.zeros((B, 24, LATENT_DIM), jnp.float32)
+    amask = jnp.ones((B, 24), jnp.int32)
+    labels = jnp.zeros((B, 16), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1)}
+    p_tts = model.init(rngs, ids, mask, lat, amask, train=False,
+                       method=QwenCALM.forward_tts)["params"]
+    p_asr = model.init(rngs, ids, mask, lat, amask, labels, train=False,
+                       method=QwenCALM.forward_asr)["params"]
+    params = jax.tree_util.tree_map(np.asarray, {**p_asr, **p_tts})
+    trainable, frozen = partition_params(params, calm_param_label)
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0,
+                          gradient_accumulation_steps=1)
+    tx = make_optimizer(tcfg, trainable, calm_param_label, total_steps=10)
+    state = init_train_state(trainable, tx)
+    steps = {}
+    for task in ("tts", "asr"):
+        fn, state, frozen = shard_step(
+            make_calm_step(model, tx, task), mesh, state, frozen)
+        steps[task] = fn
+    return steps, state, frozen
+
+
+def filter_batch(batch):
+    out = {k: v for k, v in batch.items() if k != "task"}
+    if batch["task"] == "tts":
+        out.pop("labels", None)
+    return out
+
+
+def make_iterator(ds, process_index, process_count):
+    from audio_calm_tpu.data.collator import calm_batch_iterator
+
+    return calm_batch_iterator(
+        ds, GLOBAL_BATCH, StubTok.pad_token_id, LATENT_DIM,
+        task_prob_tts=0.5, training=True, seed=0,
+        process_index=process_index, process_count=process_count,
+    )
+
+
+def main():
+    coord, pid, nproc, data_dir, out_file = sys.argv[1:6]
+    pid, nproc = int(pid), int(nproc)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc
+
+    from audio_calm_tpu.parallel.mesh import make_mesh, shard_host_batch
+
+    ds = build_dataset(data_dir)
+    assert len(ds.tts_items) == 12 and len(ds.asr_items) == 12
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 2 * nproc
+    steps, state, frozen = build_model_and_steps(mesh)
+
+    losses = []
+    it = make_iterator(ds, jax.process_index(), nproc)
+    for i, b in enumerate(it):
+        if i >= N_STEPS:
+            break
+        task = b["task"]
+        fb = filter_batch(b)
+        assert fb["text_ids"].shape[0] == GLOBAL_BATCH // nproc
+        gb = shard_host_batch(fb, mesh)
+        assert gb["text_ids"].shape[0] == GLOBAL_BATCH
+        state, metrics = steps[task](state, frozen, gb, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert len(losses) == N_STEPS and all(np.isfinite(l) for l in losses)
+
+    if jax.process_index() == 0:
+        with open(out_file, "w") as f:
+            f.write(repr(losses))
+    print(f"[worker {pid}] done, losses={losses}")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,3 +98,77 @@ def test_two_process_distributed_data_path(tmp_path):
     mp_loss = float(open(out_file).read())
     ref_loss = _single_process_reference(data_dir)
     assert abs(mp_loss - ref_loss) < 1e-4, (mp_loss, ref_loss)
+
+
+def test_two_process_calm_data_path(tmp_path):
+    """The CALM multi-host branch (collator.py:142-155): shared-order task
+    stream, per-process slicing, zero-stub lock-step for a corrupt item.
+    Two real jax.distributed processes must produce the same per-step losses
+    as a host-side assembly of the identical sharded iterators — any
+    cross-process desync changes the global batch (VERDICT r2 weak #3)."""
+    import ast
+
+    import jax.numpy as jnp  # noqa: F401 (ensures jax configured via conftest)
+
+    import mp_worker_calm as W
+
+    data_dir = W.make_store(str(tmp_path / "latents"))
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out_file = str(tmp_path / "rank0_losses.txt")
+    worker = os.path.join(TESTS_DIR, "mp_worker_calm.py")
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", data_dir, out_file],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+    mp_losses = ast.literal_eval(open(out_file).read())
+    assert len(mp_losses) == W.N_STEPS
+
+    # host-side comparator: zip the two shard iterators, concat in rank
+    # order, run the identical steps on a 4-device single-process mesh
+    from audio_calm_tpu.parallel.mesh import make_mesh
+
+    ds = W.build_dataset(data_dir)
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    steps, state, frozen = W.build_model_and_steps(mesh)
+    it0 = W.make_iterator(ds, 0, 2)
+    it1 = W.make_iterator(ds, 1, 2)
+    ref_losses = []
+    saw_stub = False
+    for i, (b0, b1) in enumerate(zip(it0, it1)):
+        assert b0["task"] == b1["task"]  # shared task stream
+        gb = {
+            k: np.concatenate([b0[k], b1[k]])
+            for k in b0 if k != "task"
+        }
+        # the corrupt item (make_store index 5) must surface as a zero stub:
+        # 1-frame audio mask with all-zero latents
+        for r in range(gb["latents"].shape[0]):
+            if (gb["audio_mask"][r].sum() == 1
+                    and not gb["latents"][r].any()
+                    and gb["attention_mask"][r].sum() == 1):
+                saw_stub = True
+        if i < W.N_STEPS:
+            fb = {k: v for k, v in gb.items() if k != "task"}
+            if b0["task"] == "tts":
+                fb.pop("labels", None)
+            state, metrics = steps[b0["task"]](
+                state, frozen, fb, jax.random.PRNGKey(i))
+            ref_losses.append(float(metrics["loss"]))
+        if i >= 5:  # one full epoch of each task: stub must have appeared
+            break
+    assert saw_stub, "corrupt item never exercised the zero-stub path"
+    for a, b in zip(mp_losses, ref_losses):
+        assert abs(a - b) < 1e-4, (mp_losses, ref_losses)
