@@ -43,6 +43,15 @@ def lowered_flops(fn: Callable, *args, **kwargs) -> float:
     of trip count — probe scan-free variants (e.g. microbatch=1) instead.
     """
     cost = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+    if cost is None:
+        # some PJRT plugins (axon TPU) have no pre-compile cost analysis;
+        # FLOP counts are backend-independent, so lower for CPU instead
+        cpu = jax.devices("cpu")[0]
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (args, kwargs)
+        )
+        a2, kw2 = abstract
+        cost = jax.jit(fn, device=cpu).lower(*a2, **kw2).cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
     return float(cost.get("flops", -1.0))

