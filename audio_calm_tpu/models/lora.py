@@ -34,7 +34,20 @@ class LoRADense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
         )
         dt = self.dtype or x.dtype
-        y = x.astype(dt) @ kernel.astype(dt)
+        if kernel.dtype == jnp.int8:
+            # weight-only int8 serving (models/quant.quantize_llm_int8): the
+            # per-output-channel scale lives in the "qscale" collection so
+            # the param tree keeps its layout; dequant is an elementwise
+            # producer XLA fuses into the matmul's weight read — HBM traffic
+            # for the frozen base halves vs bf16
+            scale = self.variable(
+                "qscale", "kernel_scale",
+                lambda: jnp.ones((self.features,), jnp.float32),
+            ).value
+            w = kernel.astype(dt) * scale.astype(dt)[None, :]
+        else:
+            w = kernel.astype(dt)
+        y = x.astype(dt) @ w
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(dt)

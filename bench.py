@@ -46,7 +46,11 @@ def main():
 
     enable_compilation_cache()
 
-    steps = 50
+    # BENCH_STEPS / BENCH_METHOD override the reference protocol (50-step
+    # euler): BASELINE.md "ODE solver quality" measured midpoint-12 at 2.8x
+    # BETTER integration accuracy than euler-50 for half the velocity evals
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    ode_method = os.environ.get("BENCH_METHOD", "euler")
     cfg_scale = 2.5
     # headline is single-stream (B=1); BENCH_BATCH=N measures aggregate
     # serving throughput instead
@@ -97,6 +101,11 @@ def main():
             jnp.bfloat16,
         )
     }
+    # AUDIO_CALM_LLM_WEIGHTS=int8: weight-only int8 frozen backbone (halves
+    # the LLM-encode HBM weight traffic; measured delta in BASELINE.md)
+    from audio_calm_tpu.models.quant import maybe_quantize_from_env
+
+    calm_params = maybe_quantize_from_env(calm_params)
     vae_params = device_random_params(
         jax.eval_shape(
             lambda: vae.init(
@@ -127,6 +136,7 @@ def main():
                 calm, calm_params, text_ids, attn, rng,
                 steps=steps, cfg_scale=cfg_scale, t_aud=t_aud,
                 num_frames_override=num_frames,  # untrained len-pred
+                method=ode_method,
             )
             mel_n = vae.apply(vae_params, latents.astype(jnp.float32),
                               method=AcousticVAE.decode)
@@ -221,9 +231,11 @@ def main():
             out["wall_min_device_s"] = round(float(np.min(dts)), 4)
             out["rtf_device"] = round(audio_seconds / float(np.min(dts)), 1)
         if flops > 0:
-            # cost analysis counts the 50-step ODE scan body once; add the
-            # remaining (steps-1) evaluations for the true pipeline FLOPs
-            flops += (steps - 1) * ode_body_flops(t_aud)
+            # cost analysis counts the ODE scan body once; add the remaining
+            # (steps-1) step bodies for the true pipeline FLOPs (a midpoint
+            # body is two velocity evaluations)
+            evals = 2 if ode_method == "midpoint" else 1
+            flops += (steps - 1) * evals * ode_body_flops(t_aud)
             out["pipeline_tflops"] = round(flops / 1e12, 2)
             wall_for_mfu = out.get("wall_min_device_s", wall_mean)
             out["mfu_pct"] = round(

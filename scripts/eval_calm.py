@@ -75,7 +75,11 @@ def main(argv=None):
         )
         print(f"loaded components from {comp_dir}")
 
-    inf = CALMInference(model, {"params": params}, tokenizer,
+    from audio_calm_tpu.models.quant import maybe_quantize_from_env
+
+    inf = CALMInference(model,
+                        maybe_quantize_from_env({"params": params}),
+                        tokenizer,
                         audio_buckets=e.audio_buckets,
                         text_buckets=e.text_buckets)
     rng = jax.random.PRNGKey(e.seed)

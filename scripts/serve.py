@@ -59,7 +59,11 @@ def build_engine(args):
         params = soft_restart(
             params, {c: args.components for c in COMPONENTS + ("lora",)}
         )
-    inf = CALMInference(model, {"params": params}, tokenizer,
+    from audio_calm_tpu.models.quant import maybe_quantize_from_env
+
+    inf = CALMInference(model,
+                        maybe_quantize_from_env({"params": params}),
+                        tokenizer,
                         audio_buckets=cfg.evaluation.audio_buckets,
                         text_buckets=cfg.evaluation.text_buckets)
 
