@@ -271,6 +271,11 @@ class TrainingConfig:
     # in-step microbatching: lax.scan grad accumulation inside ONE jitted
     # step (peak-HBM lever for the 481-token ASR backbone; 1 = off)
     microbatch_steps: int = 1
+    # storage dtype of FROZEN params (the LLM base): "bfloat16" frees
+    # ~3.1 GB of HBM on the flagship (compute is bf16 either way; only the
+    # never-updated master copies change) — the memory lever that admits
+    # fewer microbatch slices. "float32" = reference-faithful masters.
+    frozen_weights_dtype: str = "float32"
     learning_rate: float = 5e-5
     num_train_epochs: float = 3.0
     max_steps: int = -1

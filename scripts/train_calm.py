@@ -129,6 +129,14 @@ def main(argv=None):
         k, task_mode=d.task_mode, freeze_projector=m.freeze_projector
     )
     trainable, frozen = partition_params(params, label)
+    if t.frozen_weights_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unknown frozen_weights_dtype {t.frozen_weights_dtype!r}")
+    if t.frozen_weights_dtype == "bfloat16":
+        from audio_calm_tpu.models.flagship import cast_floating
+
+        frozen = cast_floating(frozen, jnp.bfloat16)
+        print("frozen params stored bf16 (halves frozen-base HBM)")
     n_train = sum(v.size for v in trainable.values())
     n_froz = sum(v.size for v in frozen.values())
     print(f"trainable: {n_train/1e6:.2f}M | frozen: {n_froz/1e6:.2f}M | "

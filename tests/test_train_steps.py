@@ -232,7 +232,39 @@ def test_calm_microbatched_step_matches_envelope(calm_setup):
     assert abs(losses[1] - losses[4]) < 0.6, losses
 
 
-def test_remat_policy_does_not_change_numerics(calm_setup):
+def test_bf16_frozen_storage_trains(calm_setup):
+    """training.frozen_weights_dtype=bfloat16: the never-updated base stores
+    bf16 (the single-chip memory lever, BASELINE.md round 3); the step must
+    run, train, and track the fp32-frozen loss closely (compute is bf16 on
+    the flagship either way; this tiny model computes fp32, so the delta
+    here IS the storage-precision effect)."""
+    from audio_calm_tpu.models.flagship import cast_floating
+
+    model, params, batch = calm_setup
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    label = lambda k: calm_param_label(k, task_mode="tts")
+    trainable, frozen = partition_params(params, label)
+    tts_batch = {k: v for k, v in batch.items() if k != "labels"}
+    mesh = make_mesh()
+
+    losses = {}
+    for name, fz_in in (
+        ("fp32", frozen),
+        ("bf16", cast_floating(frozen, jnp.bfloat16)),
+    ):
+        tr = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                    trainable)
+        fz0 = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                     fz_in)
+        tx = make_optimizer(tcfg, tr, label, total_steps=50)
+        state = init_train_state(tr, tx)
+        step, state, fz = shard_step(
+            make_calm_step(model, tx, "tts"), mesh, state, fz0)
+        for i in range(3):
+            state, m = step(state, fz, tts_batch, jax.random.PRNGKey(0))
+        losses[name] = float(m["loss"])
+        assert np.isfinite(losses[name])
+    assert abs(losses["bf16"] - losses["fp32"]) < 0.05, losses
     """model.remat_policy ('full' | 'dots' | 'none') is a pure speed/memory
     trade: losses and grads must match across policies."""
     import dataclasses
