@@ -412,13 +412,17 @@ def fused_upsample_stage(
     compute_dtype=jnp.bfloat16,
     tile_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
+    return_packed: bool = False,
 ) -> jnp.ndarray:
     """One HiFi-GAN stage — lrelu, ConvTranspose1d(stride r), 3 MRF
     resblocks, mean — as a single Pallas program. Only valid when
     C_out = C_in/2 divides 128 and g_out = r*g_in (the V1 tail stages).
     ups_kernel=None groups the resblocks + mean over an already-upsampled
     input (C_out = C_in; used for the C=128 stage whose r=8 upsample stays
-    in XLA). Returns [B, T_in * r, C_out] (r treated as 1 when no ups)."""
+    in XLA). Returns [B, T_in * r, C_out] (r treated as 1 when no ups);
+    return_packed=True instead returns the raw lane-packed
+    ([B, T_out // g_out, 128], g_out) so a consumer (packed_conv_post) can
+    avoid the [T, C] relayout round trip entirely."""
     if interpret is None:
         interpret = _auto_interpret()
     B, T_in, C_in = x.shape
@@ -526,7 +530,77 @@ def fused_upsample_stage(
             transcendentals=0,
         ),
     )(windows, w_all, b_all)
+    if return_packed:
+        assert T_out % g_out == 0
+        return out[:, : T_out // g_out, :], g_out
     return out.reshape(B, rows_grid * g_out, C_out)[:, :T_out, :]
+
+
+def packed_conv_post(
+    y_packed: jnp.ndarray,  # [B, rows, 128] lane-packed (g phases x C ch)
+    g: int,
+    w_post: jnp.ndarray,  # [k, C, 1]
+    b_post: jnp.ndarray,  # [1]
+    slope: float,
+    T_out: int,
+) -> jnp.ndarray:
+    """lrelu -> conv_post (k taps, same pad) -> tanh, consumed DIRECTLY in
+    the packed-row layout and emitted as fully-packed waveform rows
+    [B, T/128, 128] -> [B, T].
+
+    Measured motive (BASELINE.md round-3 vocoder table): the unpacked
+    conv_post costs 1.54 ms because XLA reads the [T, 32] input through
+    128-lane-padded tiles (~4x traffic) after a relayout of the Pallas
+    stage output. Expressing it as ONE strided conv over the packed rows —
+    window (128/g + halo) rows, stride 128/g, a mostly-zero
+    [W, 128, 128] kernel — reads the 50 MB once, MXU-shaped.
+
+    Output lane l of coarse row R is waveform sample s = 128 R + l, which
+    needs packed rows 128R/g + (l + j - c)//g for taps j (c = (k-1)//2):
+    kernel[D, p_in*C + ch, l] = w_post[j, ch] with
+    D = (l + j - c)//g + pad_l."""
+    B, rows, _ = y_packed.shape
+    C = 128 // g
+    k = w_post.shape[0]
+    c_half = (k - 1) // 2
+    stride = 128 // g  # packed rows per 128-sample output row
+    pad_l = -((0 + 0 - c_half) // g)  # halo rows left (l=0, j=0)
+    d_max = (127 + (k - 1) - c_half) // g  # (l=127, j=k-1)
+    window = d_max + pad_l + 1
+    assert T_out % 128 == 0 and rows == T_out // g
+
+    # static scatter indices for the sparse big kernel
+    import numpy as np_
+
+    D_idx, in_idx, out_idx, src_j, src_c = [], [], [], [], []
+    for l in range(128):
+        for j in range(k):
+            u = l + j - c_half
+            D = u // g + pad_l
+            p_in = u % g
+            for ch in range(C):
+                D_idx.append(D)
+                in_idx.append(p_in * C + ch)
+                out_idx.append(l)
+                src_j.append(j)
+                src_c.append(ch)
+    big = jnp.zeros((window, 128, 128), w_post.dtype)
+    big = big.at[
+        np_.asarray(D_idx), np_.asarray(in_idx), np_.asarray(out_idx)
+    ].add(w_post[np_.asarray(src_j), np_.asarray(src_c), 0])
+
+    h = jnp.where(y_packed >= 0, y_packed, y_packed * slope)
+    out_rows = T_out // 128
+    # VALID conv over padded rows: row padding supplies the zero halo the
+    # sequence-edge semantics require (positions < 0 / >= T_out are zero)
+    pad_r = window - pad_l - stride + (stride - rows % stride) % stride
+    wav = jax.lax.conv_general_dilated(
+        h, big, window_strides=(stride,),
+        padding=[(pad_l, pad_r)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )[:, :out_rows, :]
+    wav = jnp.tanh(wav + b_post[0])
+    return wav.reshape(B, out_rows * 128)[:, :T_out]
 
 
 def _xla_resblock(x, w1, b1, w2, b2, k: int, dilations, slope: float):
@@ -575,6 +649,7 @@ def hifigan_apply_fused(
 
     x = _conv1d(mel, p["conv_pre"]["conv"]["kernel"],
                 p["conv_pre"]["conv"]["bias"], pad=3)
+    n_stages = len(cfg.upsample_rates)
     for i, (r, k_up) in enumerate(
         zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
     ):
@@ -592,11 +667,23 @@ def hifigan_apply_fused(
                     zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
                 )
             ]
+            last = i == n_stages - 1
+            T_final = x.shape[1] * r
             x = fused_upsample_stage(
                 x, p[f"ups_{i}"]["kernel"], p[f"ups_{i}"]["bias"], blocks,
                 r=r, slope=slope, compute_dtype=compute_dtype,
                 interpret=interpret,
+                return_packed=last and T_final % 128 == 0,
             )
+            if isinstance(x, tuple):
+                # final stage stayed lane-packed: conv_post consumes the
+                # packed rows directly (measured 1.54 ms -> MXU-strided
+                # read of the same 50 MB; BASELINE.md round-3 table)
+                y_packed, g = x
+                return packed_conv_post(
+                    y_packed, g, p["conv_post"]["conv"]["kernel"],
+                    p["conv_post"]["conv"]["bias"], slope, T_final,
+                )
             continue
         x = lrelu(x)
         x = _conv_transpose1d(

@@ -171,6 +171,30 @@ def test_hifigan_apply_fused_with_stage_fusion():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_packed_conv_post_matches_generator():
+    """When the final stage is fused and T % 128 == 0, conv_post consumes
+    the lane-packed stage output directly (packed_conv_post) — waveform
+    must still match the flax generator exactly (round-3 tail fold)."""
+    for init_ch in (64, 128):  # final C=16 (g=8) and C=32 (g=4)
+        cfg = HiFiGANConfig(
+            upsample_initial_channel=init_ch,
+            upsample_rates=(2, 2),
+            upsample_kernel_sizes=(4, 4),
+            resblock_kernel_sizes=(3, 5),
+            resblock_dilations=((1, 2), (2, 6)),
+        )
+        gen = HiFiGANGenerator(cfg)
+        rng = np.random.default_rng(11)
+        mel = jnp.asarray(rng.standard_normal((2, 64, 80)), jnp.float32)
+        params = gen.init(jax.random.PRNGKey(12), mel)
+        ref = gen.apply(params, mel)
+        out = hifigan_apply_fused(params, mel, cfg,
+                                  compute_dtype=jnp.float32, interpret=True)
+        assert out.shape == ref.shape == (2, 256), out.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_grouped_resblocks_no_upsample_matches_flax():
     """ups_kernel=None: bare [3 resblocks + mean] grouping (used for the
     C=128 stage whose r=8 upsample stays in XLA)."""
