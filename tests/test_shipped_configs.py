@@ -19,7 +19,10 @@ def test_tts_yaml():
     assert cfg.model.tts_loss_weight == 1.0 and cfg.model.asr_loss_weight == 0.0
     assert cfg.model.lora.rank == 64 and cfg.model.lora.alpha == 128
     assert cfg.model.latent_std == pytest.approx(1.190864)
-    assert cfg.evaluation.steps == 50 and cfg.evaluation.cfg_scale == 2.5
+    # measured default: midpoint-12 beats the reference's euler-50 on
+    # integration accuracy at half the cost (BASELINE.md "ODE solver quality")
+    assert cfg.evaluation.steps == 12 and cfg.evaluation.cfg_scale == 2.5
+    assert cfg.evaluation.ode_method == "midpoint"
     assert cfg.training.soa_lr_mult == 3.0
 
 
