@@ -67,11 +67,15 @@ def tts_decode(
     t_aud: int = 384,
     method: str = "euler",
     time_schedule: str = "uniform",
+    x_init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Phase 2: durations -> alignment -> CFG flow ODE on a [B, t_aud] grid.
 
     -> denormalized latents [B, t_aud, latent_dim]; frames >= num_frames[b]
-    are padding."""
+    are padding. x_init (optional [B, t_aud, latent_dim]) supplies the ODE
+    noise init explicitly — the batched serving path generates row b from
+    request b's OWN key so a request's audio is reproducible from its seed
+    alone, independent of what it got batched with."""
     num_frames = jnp.minimum(num_frames, t_aud)
     dur_scaled = model.apply(
         params, text_ctx, text_pad, num_frames, method=QwenCALM.predict_durations
@@ -91,9 +95,12 @@ def tts_decode(
     condition = condition * frame_valid[:, :, None].astype(condition.dtype)
 
     B = cond_vec.shape[0]
-    x_init = jax.random.normal(
-        rng, (B, t_aud, model.cfg.latent_dim), condition.dtype
-    )
+    if x_init is None:
+        x_init = jax.random.normal(
+            rng, (B, t_aud, model.cfg.latent_dim), condition.dtype
+        )
+    else:
+        x_init = x_init.astype(condition.dtype)
 
     def head_fn(c, x, t, ctx, cmask, xmask):
         return model.apply(
@@ -152,11 +159,15 @@ def asr_generate_ids(
     steps: int = 20,
     cfg_scale: float = 1.0,
     num_queries: int = 96,
+    method: str = "euler",
+    time_schedule: str = "uniform",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """audio latents -> (token ids [B, num_queries], query lengths [B]).
 
     Query length heuristic min(max(T_aud//4, 10), max_text_len) from
     reference eval_calm.py:334, computed per sample from the audio mask.
+    method/time_schedule select the solver like the TTS path (euler-20 =
+    reference protocol, eval_calm.py:340-360).
     """
     condition = model.apply(
         params, latents, audio_mask, prompt_ids, prompt_mask, num_queries,
@@ -177,7 +188,9 @@ def asr_generate_ids(
             params, c, x, t, ctx, cmask, xmask, method=QwenCALM.asr_flow_fn
         )
 
-    x = ode_solve(head_fn, condition, x_init, steps, cfg_scale, x_mask=~q_valid)
+    x = ode_solve(head_fn, condition, x_init, steps, cfg_scale,
+                  x_mask=~q_valid, method=method,
+                  time_schedule=time_schedule)
     ids = model.apply(params, x, method=QwenCALM.search_nearest_tokens)
     return ids, q_len
 
@@ -326,8 +339,24 @@ class CALMInference:
         )
         self._asr_jit = jax.jit(
             functools.partial(asr_generate_ids, model),
-            static_argnames=("steps", "cfg_scale", "num_queries"),
+            static_argnames=("steps", "cfg_scale", "num_queries",
+                             "method", "time_schedule"),
         )
+
+        # Grid-invariant per-item ODE noise: every row draws at the FULL
+        # max_audio_len grid from its own key, then slices to the bucket.
+        # A request's noise (hence its audio) is therefore a function of
+        # its key alone — independent of which bucket the length predictor
+        # picked AND of what the serving batcher batched it with.
+        t_max = self.max_audio_len
+
+        @functools.partial(jax.jit,
+                           static_argnames=("t_aud", "d", "dtype"))
+        def _stack_noise(keys, t_aud, d, dtype):
+            draw = lambda k: jax.random.normal(k, (1, t_max, d), dtype)
+            return jax.vmap(draw)(keys)[:, 0, :t_aud]
+
+        self._noise_jit = _stack_noise
 
     def _encode_prompt(self, text: str):
         ids = self.tokenizer.encode(text, add_special_tokens=False)
@@ -383,10 +412,16 @@ class CALMInference:
             )
             n = int(num_frames[0])  # host sync picks the grid
             t_aud = self.pick_bucket(n)
+            # grid-invariant noise (see _stack_noise): same key -> same
+            # audio whichever bucket (or serving batch) the request lands in
+            x_init = self._noise_jit(
+                jnp.asarray(rng)[None], t_aud,
+                self.model.cfg.latent_dim, text_ctx.dtype,
+            )
             latents = self._tts_decode_jit(
                 self.params, cond_vec, text_ctx, text_pad, num_frames, rng,
                 steps=steps, cfg_scale=cfg_scale, t_aud=t_aud,
-                method=method, time_schedule=time_schedule,
+                method=method, time_schedule=time_schedule, x_init=x_init,
             )
             n = min(n, t_aud)
         else:
@@ -401,6 +436,74 @@ class CALMInference:
             return np.asarray(latents[0]), n
         return np.asarray(latents[0, :n]), n
 
+    def tts_batch(self, texts: list, keys: list, steps: int = 50,
+                  cfg_scale: float = 2.5, method: str = "euler",
+                  time_schedule: str = "uniform",
+                  pad_batch: bool = True):
+        """Batched single-chunk synthesis: the whole batch runs as ONE
+        encode + ONE decode program (the serving batcher's device call —
+        B=8 aggregate measured ~1.5x the single-stream per-chip
+        throughput, BASELINE.md "TTS serving").
+
+        texts: list[str] (raw, un-templated); keys: one PRNG key per item —
+        row i's ODE noise comes from keys[i] ALONE, so a request's audio is
+        reproducible from its seed regardless of batch composition.
+        pad_batch pads B up to the next power of two (repeat row 0) so
+        arbitrary group sizes reuse a handful of compiled programs.
+
+        -> (latents [B, t_grid, latent_dim] np, n_frames list[int], t_grid).
+        All items share one ODE grid = the bucket fitting the LONGEST
+        predicted length (masks keep short rows correct).
+        """
+        assert texts and len(texts) == len(keys)
+        B = len(texts)
+        arrs = [self._prompt_arrays(TTS_PROMPT.format(t)) for t in texts]
+        L = max(a.shape[1] for a, _ in arrs)
+        pad_id = getattr(self.tokenizer, "pad_token_id", None) or 0
+        ids = np.full((B, L), pad_id, np.int32)
+        mask = np.zeros((B, L), np.int32)
+        for i, (a, m) in enumerate(arrs):
+            ids[i, : a.shape[1]] = a[0]
+            mask[i, : m.shape[1]] = m[0]
+        karr = jnp.stack([jnp.asarray(k) for k in keys])
+        if pad_batch:
+            Bp = 1 << (B - 1).bit_length()  # next power of two
+            if Bp > B:
+                ids = np.concatenate([ids, np.repeat(ids[:1], Bp - B, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[:1], Bp - B, 0)])
+                karr = jnp.concatenate([karr, jnp.repeat(karr[:1], Bp - B, 0)])
+
+        cond_vec, text_ctx, text_pad, num_frames = self._tts_encode_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        nf = np.asarray(num_frames)[:B]
+        t_aud = self.pick_bucket(int(nf.max()))
+        # grid-invariant per-item noise (one vmapped dispatch): row i is
+        # exactly what a solo tts() with keys[i] would draw, whatever
+        # bucket either path picked
+        x_init = self._noise_jit(karr, t_aud, self.model.cfg.latent_dim,
+                                 text_ctx.dtype)
+        latents = self._tts_decode_jit(
+            self.params, cond_vec, text_ctx, text_pad, num_frames,
+            jax.random.PRNGKey(0), steps=steps, cfg_scale=cfg_scale,
+            t_aud=t_aud, method=method, time_schedule=time_schedule,
+            x_init=x_init,
+        )
+        return (np.asarray(latents[:B]),
+                [int(min(n, t_aud)) for n in nf], t_aud)
+
+    def split_chunks(self, text: str,
+                     max_chunk_tokens: Optional[int] = None) -> list:
+        """Sentence-pack `text` into prompt-budget chunks (the long-form
+        budget logic shared by tts_long_stream and the serving batcher's
+        single-chunk routing)."""
+        budget = max_chunk_tokens or self.model.cfg.max_text_len
+        if self.text_buckets:
+            # _prompt_arrays truncates past the largest bucket; keep the
+            # chunk budget inside it so no chunk content is silently cut
+            budget = min(budget, self.text_buckets[-1])
+        return split_text_for_tts(text, self.tokenizer, budget)
+
     def tts_long_stream(self, text: str, rng: jax.Array, render,
                         steps: int = 50, cfg_scale: float = 2.5,
                         method: str = "euler",
@@ -412,12 +515,7 @@ class CALMInference:
         whole utterance). Crossfades are applied across yields by holding
         back the fade-length tail of each chunk; the concatenation of the
         yielded pieces equals tts_long's output exactly."""
-        budget = max_chunk_tokens or self.model.cfg.max_text_len
-        if self.text_buckets:
-            # _prompt_arrays truncates past the largest bucket; keep the
-            # chunk budget inside it so no chunk content is silently cut
-            budget = min(budget, self.text_buckets[-1])
-        chunks = split_text_for_tts(text, self.tokenizer, budget)
+        chunks = self.split_chunks(text, max_chunk_tokens)
         fade = int(16000 * crossfade_ms / 1000.0)
         held = None  # tail of the previous chunk, not yet emitted
         for chunk in chunks:
@@ -468,7 +566,8 @@ class CALMInference:
         return np.concatenate(pieces)
 
     def asr(self, latents: np.ndarray, rng: jax.Array, steps: int = 20,
-            cfg_scale: float = 1.0) -> str:
+            cfg_scale: float = 1.0, method: str = "euler",
+            time_schedule: str = "uniform") -> str:
         """latents [T, latent_dim] -> transcript string."""
         T = latents.shape[0]
         t_max = self.max_audio_len
@@ -482,6 +581,7 @@ class CALMInference:
             jnp.ones_like(jnp.asarray(prompt)), rng,
             steps=steps, cfg_scale=cfg_scale,
             num_queries=self.model.cfg.max_text_len,
+            method=method, time_schedule=time_schedule,
         )
         extra = set()
         if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:

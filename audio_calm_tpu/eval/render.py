@@ -56,4 +56,16 @@ def make_renderer(
         n = int(n_frames) * SAMPLES_PER_FRAME
         return np.asarray(wav)[0][:n]
 
+    def render_batch(latents: np.ndarray, n_frames) -> list:
+        """Batched form for the serving batcher: latents [B, T_grid, D]
+        (one shared grid), n_frames per item -> list of host waveforms.
+        The decode/vocoder programs are shape-polymorphic, so this is the
+        same pipeline at batch B (one compile per (B, grid))."""
+        x = jnp.asarray(np.asarray(latents, np.float32))
+        wav = pipeline(x) if hifi else vocoder(decode(x))
+        w = np.asarray(wav)
+        return [w[i][: int(n) * SAMPLES_PER_FRAME]
+                for i, n in enumerate(n_frames)]
+
+    render.batch = render_batch
     return render

@@ -299,13 +299,19 @@ def griffin_lim(
 ) -> jnp.ndarray:
     """Phase reconstruction by iterative STFT consistency."""
     B, T, n_bins = magnitude.shape
+    # the consistency iteration must round-trip to exactly T frames
     length = (T - 1) * hop
     C, S = _dft_basis(n_fft, n_fft)
     Cj, Sj = jnp.asarray(C), jnp.asarray(S)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    angle = jax.random.uniform(rng, magnitude.shape, minval=-np.pi, maxval=np.pi)
+    # one phase field shared by every batch row (the init is arbitrary
+    # anyway): row b's reconstruction then depends on its magnitudes only,
+    # so a batched render row == the same row rendered solo
+    angle = jax.random.uniform(
+        rng, (1,) + magnitude.shape[1:], minval=-np.pi, maxval=np.pi
+    )
     re = magnitude * jnp.cos(angle)
     im = magnitude * jnp.sin(angle)
 
@@ -320,7 +326,12 @@ def griffin_lim(
         return magnitude * re2 / mag2, magnitude * im2 / mag2
 
     re, im = jax.lax.fori_loop(0, n_iter, body, (re, im))
-    return _istft(re, im, n_fft, hop, length)
+    # final synthesis emits the full T*hop samples (the last hop rides the
+    # final window's taper, which the centered ISTFT already covers):
+    # output length == frames*hop matches the HiFi-GAN samples-per-frame
+    # contract, so a render sliced to n_frames*samples_per_frame never
+    # comes up short on small grids
+    return _istft(re, im, n_fft, hop, T * hop)
 
 
 class GriffinLimVocoder:

@@ -3,12 +3,17 @@
 
 Endpoints:
   GET  /health              -> {"status": "ok"}
-  POST /tts  {"text": ..., "steps"?, "cfg_scale"?}   -> audio/wav bytes
+  POST /tts  {"text": ..., "steps"?, "cfg_scale"?, "seed"?, "stream"?}
+                                                     -> audio/wav bytes
   POST /asr  (body: WAV bytes)                       -> {"text": ...}
 
 The reference ships only a (broken) gradio demo; this is the headless
 serving path: one process, jit-compiled once per static shape, requests
-served from the warm cache.
+served from the warm cache. Concurrent short /tts requests coalesce into
+ONE batched device program (--max-batch / --batch-window-ms; BASELINE.md
+measured B=8 aggregate at ~1.5x the single-stream per-chip throughput,
+378x vs 249x device-side on the same solver). "seed" pins a request's
+noise so its audio is reproducible and independent of batch composition.
 
   python scripts/serve.py --config configs/calm.yaml \
       --components <dir> [--port 8080] [--byte-tokenizer] [--cpu]
@@ -85,21 +90,31 @@ def build_engine(args):
     render = make_renderer(vae, vae_params, vae_cfg, vocoder)
     frontend = MelFrontend(MelConfig())
     rng_state = [jax.random.PRNGKey(cfg.evaluation.seed)]
+    rng_lock = threading.Lock()
 
-    def tts(text, steps, cfg_scale):
-        rng_state[0], k = jax.random.split(rng_state[0])
+    def next_key(seed=None):
+        """Per-request PRNG key: an explicit seed makes the request's audio
+        reproducible (and batch-composition-independent — see
+        CALMInference.tts_batch); otherwise split the server stream."""
+        if seed is not None:
+            return jax.random.PRNGKey(int(seed))
+        with rng_lock:
+            rng_state[0], k = jax.random.split(rng_state[0])
+            return k
+
+    def tts(text, key, steps, cfg_scale):
         # long-form path: sentence-chunk past the prompt budget, crossfade
         # (degenerates to a single synthesis call for short text)
-        wav = inf.tts_long(text, k, render, steps=steps, cfg_scale=cfg_scale,
+        wav = inf.tts_long(text, key, render, steps=steps,
+                           cfg_scale=cfg_scale,
                            method=cfg.evaluation.ode_method,
                            time_schedule=cfg.evaluation.time_schedule,
                            crossfade_ms=cfg.evaluation.crossfade_ms)
         return np.clip(wav, -1, 1)
 
-    def tts_stream(text, steps, cfg_scale):
-        rng_state[0], k = jax.random.split(rng_state[0])
+    def tts_stream(text, key, steps, cfg_scale):
         for piece in inf.tts_long_stream(
-            text, k, render, steps=steps, cfg_scale=cfg_scale,
+            text, key, render, steps=steps, cfg_scale=cfg_scale,
             method=cfg.evaluation.ode_method,
             time_schedule=cfg.evaluation.time_schedule,
             crossfade_ms=cfg.evaluation.crossfade_ms,
@@ -110,10 +125,28 @@ def build_engine(args):
         w = process_audio_chunk(jnp.asarray(wav_f32))
         mel = pad_to_stride(frontend(w[None]), vae_cfg.total_stride)
         mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
-        rng_state[0], k = jax.random.split(rng_state[0])
-        return inf.asr(np.asarray(mu[0]), k, steps=steps)
+        return inf.asr(np.asarray(mu[0]), next_key(), steps=steps,
+                       method=cfg.evaluation.ode_method,
+                       time_schedule=cfg.evaluation.time_schedule)
 
-    return tts, tts_stream, asr, cfg
+    def single_chunk(text):
+        return len(inf.split_chunks(text)) == 1
+
+    def run_tts_batch(group_key, items):
+        """Batcher device call: items = [(text, key)], group_key =
+        (steps, cfg_scale). One batched synthesize + one batched render."""
+        steps, cfg_scale = group_key
+        texts = [t for t, _ in items]
+        keys = [k for _, k in items]
+        latents, n_frames, _grid = inf.tts_batch(
+            texts, keys, steps=steps, cfg_scale=cfg_scale,
+            method=cfg.evaluation.ode_method,
+            time_schedule=cfg.evaluation.time_schedule,
+        )
+        wavs = render.batch(latents, n_frames)
+        return [np.clip(w, -1, 1) for w in wavs]
+
+    return tts, tts_stream, asr, next_key, single_chunk, run_tts_batch, cfg
 
 
 def streaming_wav_header(sr=16000):
@@ -159,13 +192,33 @@ def main(argv=None):
     p.add_argument("--byte-tokenizer", action="store_true")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="coalesce up to N concurrent /tts requests into one "
+                        "batched device program (1 = no batching)")
+    p.add_argument("--batch-window-ms", type=float, default=10.0,
+                   help="how long an open batch waits for more requests")
     args = p.parse_args(argv)
 
-    tts, tts_stream, asr, cfg = build_engine(args)
+    (tts, tts_stream, asr, next_key, single_chunk, run_tts_batch,
+     cfg) = build_engine(args)
     e = cfg.evaluation
     # threaded server so /health and slow clients don't block each other;
     # device work itself is serialized (one chip, one engine)
     device_lock = threading.Lock()
+
+    from audio_calm_tpu.serving import RequestBatcher
+
+    def run_tts_batch_locked(group_key, items):
+        with device_lock:
+            n = len(items)
+            if n > 1:
+                print(f"[serve] tts batch size={n} key={group_key}",
+                      file=sys.stderr)
+            return run_tts_batch(group_key, items)
+
+    batcher = RequestBatcher(run_tts_batch_locked,
+                             max_batch=max(1, args.max_batch),
+                             window_ms=args.batch_window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         # chunked Transfer-Encoding (streaming /tts) requires HTTP/1.1;
@@ -200,6 +253,8 @@ def main(argv=None):
                         return self._json(400, {"error": "missing 'text'"})
                     steps = int(req.get("steps", e.steps))
                     scale = float(req.get("cfg_scale", e.cfg_scale))
+                    seed = req.get("seed")
+                    key = next_key(seed)
                     if req.get("stream"):
                         # chunked streaming: audio goes out as each text
                         # chunk is synthesized -> time-to-first-audio is one
@@ -225,7 +280,7 @@ def main(argv=None):
                             # stalled client can't block other /tts and
                             # /asr requests, and concurrent requests
                             # interleave at chunk granularity
-                            gen = tts_stream(text, steps, scale)
+                            gen = tts_stream(text, key, steps, scale)
                             while True:
                                 with device_lock:
                                     piece = next(gen, None)
@@ -243,8 +298,16 @@ def main(argv=None):
                                   file=sys.stderr)
                             self.close_connection = True
                         return
-                    with device_lock:
-                        wav = tts(text, steps, scale)
+                    if single_chunk(text):
+                        # concurrent short requests coalesce into one
+                        # batched device program (group = same ODE
+                        # settings); the Future resolves off the worker
+                        wav = batcher.submit((steps, scale),
+                                             (text, key)).result()
+                    else:
+                        # long-form (multi-chunk) synthesis stays solo
+                        with device_lock:
+                            wav = tts(text, key, steps, scale)
                     data = wav_bytes(wav)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")

@@ -183,3 +183,63 @@ def test_tts_streaming_chunked(server):
     with wave.open(io.BytesIO(ref)) as w:
         n_ref = w.getnframes()
     assert n_stream == n_ref > 32 * 1024
+
+
+def _tts_post(server, payload, timeout=600):
+    req = urllib.request.Request(
+        server + "/tts", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def _pcm(wav_data):
+    with wave.open(io.BytesIO(wav_data)) as w:
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+
+
+def test_tts_seed_is_deterministic(server):
+    """An explicit "seed" pins the ODE noise: same request twice -> same
+    audio (short text goes through the batched serving path)."""
+    p = {"text": "hello there", "steps": 2, "cfg_scale": 1.5, "seed": 123}
+    a, b = _tts_post(server, p), _tts_post(server, p)
+    assert a == b and len(a) > 44
+    # a different seed actually changes the audio
+    c = _tts_post(server, dict(p, seed=124))
+    assert c != a
+
+
+def test_tts_concurrent_requests_batch_safely(server):
+    """Concurrent short /tts requests (which the server may coalesce into
+    one batched device program) must each return the same audio as the
+    identical request served alone — batch composition cannot change a
+    seeded request's output."""
+    import threading as th
+
+    solo = _pcm(_tts_post(server, {"text": "hello there", "steps": 2,
+                                   "cfg_scale": 1.5, "seed": 123}))
+    texts = [("hello there", 123), ("good day", 7), ("cats and dogs", 9)]
+    out = {}
+    barrier = th.Barrier(len(texts))
+
+    def client(text, seed):
+        barrier.wait()
+        out[(text, seed)] = _tts_post(
+            server, {"text": text, "steps": 2, "cfg_scale": 1.5,
+                     "seed": seed})
+
+    threads = [th.Thread(target=client, args=t) for t in texts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(out) == 3
+    got = _pcm(out[("hello there", 123)])
+    assert got.shape == solo.shape
+    # identical up to int16 quantization of float-batching jitter; the
+    # final ~Griffin-Lim window is excluded (phase iteration near the
+    # grid-padding boundary differs when the batch picked a bigger grid)
+    body = max(1, len(got) - 4096)
+    assert np.abs(got[:body] - solo[:body]).max() <= 2 / 32768.0

@@ -1,0 +1,220 @@
+"""Serving-layer dynamic batching: the RequestBatcher coalescing logic and
+the batched TTS path it drives (CALMInference.tts_batch + render.batch).
+
+The reference has no serving component at all (web_demo.py is a broken
+gradio stub, SURVEY section 7); these cover the TPU-serving design:
+concurrent requests -> one bucketed static-shape batch program, with
+per-request noise keys so batch composition never changes a request's
+audio.
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_calm_tpu.config import (CALMModelConfig, LoRAConfig, Qwen2Config)
+from audio_calm_tpu.data.tokenizer import ByteTokenizer
+from audio_calm_tpu.eval.infer import CALMInference
+from audio_calm_tpu.models.calm import QwenCALM
+from audio_calm_tpu.serving import RequestBatcher
+
+
+# ---------------------------------------------------------------------------
+# RequestBatcher (pure host logic, no device)
+# ---------------------------------------------------------------------------
+def _collecting_batcher(max_batch=8, window_ms=250.0, fail_key=None,
+                        wrong_len_key=None):
+    calls = []
+
+    def run(key, items):
+        calls.append((key, list(items)))
+        if key == fail_key:
+            raise RuntimeError("boom")
+        if key == wrong_len_key:
+            return items[:-1]
+        return [f"{key}:{it}" for it in items]
+
+    return RequestBatcher(run, max_batch=max_batch, window_ms=window_ms), calls
+
+
+def test_batcher_coalesces_within_window():
+    b, calls = _collecting_batcher()
+    futs = [b.submit("k", i) for i in range(4)]
+    assert [f.result(timeout=10) for f in futs] == [
+        "k:0", "k:1", "k:2", "k:3"]
+    b.close()
+    assert len(calls) == 1 and len(calls[0][1]) == 4
+
+
+def test_batcher_respects_max_batch():
+    b, calls = _collecting_batcher(max_batch=2)
+    futs = [b.submit("k", i) for i in range(5)]
+    assert [f.result(timeout=10) for f in futs] == [f"k:{i}" for i in range(5)]
+    b.close()
+    assert [len(items) for _, items in calls] == [2, 2, 1]
+
+
+def test_batcher_never_mixes_group_keys():
+    b, calls = _collecting_batcher()
+    futs = [b.submit(k, i) for i, k in enumerate("abab")]
+    assert [f.result(timeout=10) for f in futs] == [
+        "a:0", "b:1", "a:2", "b:3"]
+    b.close()
+    assert sorted((k, len(it)) for k, it in calls) == [("a", 2), ("b", 2)]
+
+
+def test_batcher_error_fans_out_to_group_only():
+    b, _ = _collecting_batcher(fail_key="bad")
+    bad = [b.submit("bad", i) for i in range(2)]
+    good = b.submit("good", 7)
+    for f in bad:
+        with pytest.raises(RuntimeError, match="boom"):
+            f.result(timeout=10)
+    assert good.result(timeout=10) == "good:7"
+    b.close()
+
+
+def test_batcher_length_mismatch_fails_group():
+    b, _ = _collecting_batcher(wrong_len_key="short")
+    f = b.submit("short", 1)
+    with pytest.raises(RuntimeError, match="results"):
+        f.result(timeout=10)
+    b.close()
+
+
+def test_batcher_degenerates_to_serial_queue():
+    b, calls = _collecting_batcher(max_batch=1, window_ms=0.0)
+    futs = [b.submit("k", i) for i in range(3)]
+    assert [f.result(timeout=10) for f in futs] == ["k:0", "k:1", "k:2"]
+    b.close()
+    assert [len(items) for _, items in calls] == [1, 1, 1]
+
+
+def test_batcher_concurrent_submitters():
+    b, calls = _collecting_batcher(window_ms=400.0)
+    results = {}
+    barrier = threading.Barrier(4)
+
+    def client(i):
+        barrier.wait()
+        results[i] = b.submit("k", i).result(timeout=20)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {i: f"k:{i}" for i in range(4)}
+    b.close()
+    # all four arrived within the window -> one device call
+    assert len(calls) == 1
+
+
+def test_batcher_close_rejects_new_work():
+    b, _ = _collecting_batcher()
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit("k", 1)
+
+
+# ---------------------------------------------------------------------------
+# Batched TTS inference (tiny model)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny_inf():
+    cfg = CALMModelConfig(
+        latent_dim=8,
+        max_audio_len=32,
+        max_text_len=12,
+        tts_flow_hidden_dim=32,
+        tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32,
+        asr_flow_num_layers=1,
+        flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, 6), jnp.int32), jnp.ones((1, 6), jnp.int32),
+        jnp.zeros((1, 16, 8), jnp.float32), jnp.ones((1, 16), jnp.int32),
+        method=model.forward_tts,
+    )
+    return CALMInference(model, params, ByteTokenizer(),
+                         audio_buckets=[16, 32], text_buckets=[64, 96])
+
+
+def test_tts_batch_matches_solo_rows(tiny_inf):
+    """Each batched row must equal the solo synthesis from the same key:
+    per-item grid-invariant noise + masked batch compute means batch
+    composition cannot change a request's audio."""
+    inf = tiny_inf
+    texts = ["hello world", "good day to you", "cats"]
+    keys = [jax.random.PRNGKey(s) for s in (11, 22, 33)]
+    lat_b, n_b, t_grid = inf.tts_batch(texts, keys, steps=2, cfg_scale=1.5)
+    assert lat_b.shape[0] == 3 and lat_b.shape[1] == t_grid
+    solo_grids = []
+    for i, (text, key) in enumerate(zip(texts, keys)):
+        lat_s, n_s = inf.tts(text, key, steps=2, cfg_scale=1.5,
+                             pad_to_grid=True)
+        solo_grids.append(lat_s.shape[0])
+        assert n_s == n_b[i]
+        np.testing.assert_allclose(
+            lat_b[i, : n_b[i]], lat_s[: n_s], rtol=1e-4, atol=1e-4,
+            err_msg=f"row {i} diverged from its solo synthesis",
+        )
+    # the batch shares ONE grid: the bucket fitting the longest item
+    assert t_grid == max(solo_grids)
+
+
+def test_tts_batch_pads_to_power_of_two(tiny_inf):
+    texts = ["one", "two", "three"]
+    keys = [jax.random.PRNGKey(i) for i in range(3)]
+    lat, ns, _ = tiny_inf.tts_batch(texts, keys, steps=2, cfg_scale=1.5)
+    # results sliced back to the true batch; all finite
+    assert lat.shape[0] == 3 and len(ns) == 3
+    assert np.isfinite(lat).all()
+
+
+def test_noise_is_grid_invariant(tiny_inf):
+    """The ODE init noise prefix must not depend on the picked bucket —
+    this is what makes (text, seed) fully determine the audio."""
+    inf = tiny_inf
+    k = jnp.asarray(jax.random.PRNGKey(5))[None]
+    d = inf.model.cfg.latent_dim
+    small = np.asarray(inf._noise_jit(k, 16, d, jnp.float32))
+    big = np.asarray(inf._noise_jit(k, 32, d, jnp.float32))
+    np.testing.assert_array_equal(small[0], big[0, :16])
+
+
+def test_render_batch_matches_solo(tiny_inf):
+    """render.batch rows == solo render calls on the same latents."""
+    from audio_calm_tpu.config import VAEModelConfig
+    from audio_calm_tpu.eval.render import SAMPLES_PER_FRAME, make_renderer
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.models.vocoder import GriffinLimVocoder
+
+    vae_cfg = VAEModelConfig(latent_channels=8)
+    vae = AcousticVAE(vae_cfg)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    render = make_renderer(vae, vae_params, vae_cfg,
+                           GriffinLimVocoder(n_iter=2))
+    rng = np.random.default_rng(0)
+    lat = rng.standard_normal((2, 16, 8)).astype(np.float32)
+    n_frames = [10, 16]
+    wavs = render.batch(lat, n_frames)
+    # GL's ISTFT may come up a window short of the full grid; the contract
+    # is row i == the solo render of the same latents (same slicing rule)
+    assert len(wavs[0]) <= 10 * SAMPLES_PER_FRAME
+    for i, n in enumerate(n_frames):
+        solo = render(lat[i], n)
+        assert wavs[i].shape == solo.shape
+        np.testing.assert_allclose(wavs[i], solo, rtol=1e-5, atol=1e-5)
