@@ -332,7 +332,12 @@ class EvaluationConfig:
     # (eval_calm.py:140-164).
     steps: int = 12
     cfg_scale: float = 2.5
-    asr_steps: int = 20
+    # ASR decode: midpoint-10 = 20 velocity evals (exactly the reference's
+    # euler-20 cost, eval_calm.py:340) and decodes closer to the dense
+    # solution (token agreement 0.969 vs 0.938 measured,
+    # tests/test_ode_quality.py). ode_method: euler + asr_steps: 20
+    # reproduces the reference protocol.
+    asr_steps: int = 10
     asr_cfg_scale: float = 1.0
     ode_method: str = "midpoint"  # "euler" (reference protocol) | "midpoint"
     time_schedule: str = "uniform"  # "uniform" (reference) | "sway"

@@ -92,7 +92,9 @@ def main(argv=None):
         for i, item in enumerate(data):
             latent = load_array(item["file_path"])
             pred = inf.asr(latent, jax.random.fold_in(rng, i),
-                           steps=e.asr_steps, cfg_scale=e.asr_cfg_scale)
+                           steps=e.asr_steps, cfg_scale=e.asr_cfg_scale,
+                           method=e.ode_method,
+                           time_schedule=e.time_schedule)
             r, h = normalize_text(item["text"]), normalize_text(pred)
             refs.append(r or "<empty>")
             preds.append(h)
