@@ -161,13 +161,17 @@ def asr_generate_ids(
     num_queries: int = 96,
     method: str = "euler",
     time_schedule: str = "uniform",
+    x_init: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """audio latents -> (token ids [B, num_queries], query lengths [B]).
 
     Query length heuristic min(max(T_aud//4, 10), max_text_len) from
     reference eval_calm.py:334, computed per sample from the audio mask.
     method/time_schedule select the solver like the TTS path (euler-20 =
-    reference protocol, eval_calm.py:340-360).
+    reference protocol, eval_calm.py:340-360). x_init (optional
+    [B, num_queries, hidden]) supplies the ODE noise explicitly — the
+    batched serving path draws row b from request b's OWN key so batching
+    never changes a request's transcript (see CALMInference.asr_batch).
     """
     condition = model.apply(
         params, latents, audio_mask, prompt_ids, prompt_mask, num_queries,
@@ -179,9 +183,12 @@ def asr_generate_ids(
     condition = condition * q_valid[:, :, None].astype(condition.dtype)
 
     B = latents.shape[0]
-    x_init = jax.random.normal(
-        rng, (B, num_queries, model.cfg.qwen.hidden_size), condition.dtype
-    )
+    if x_init is None:
+        x_init = jax.random.normal(
+            rng, (B, num_queries, model.cfg.qwen.hidden_size), condition.dtype
+        )
+    else:
+        x_init = x_init.astype(condition.dtype)
 
     def head_fn(c, x, t, ctx, cmask, xmask):
         return model.apply(
@@ -343,20 +350,25 @@ class CALMInference:
                              "method", "time_schedule"),
         )
 
-        # Grid-invariant per-item ODE noise: every row draws at the FULL
-        # max_audio_len grid from its own key, then slices to the bucket.
-        # A request's noise (hence its audio) is therefore a function of
-        # its key alone — independent of which bucket the length predictor
-        # picked AND of what the serving batcher batched it with.
+        # Grid-invariant per-item ODE noise: every row draws at a FULL
+        # t_full grid from its own key, then slices to the active grid.
+        # A request's noise (hence its audio/transcript) is therefore a
+        # function of its key alone — independent of which bucket the
+        # length predictor picked AND of what the serving batcher batched
+        # it with. TTS draws at (max_audio_len, latent_dim) sliced to the
+        # bucket; ASR draws at (num_queries, hidden) — a (1, t, d) draw
+        # from key k is bit-identical to the solo B=1 in-solver draw.
         t_max = self.max_audio_len
 
-        @functools.partial(jax.jit,
-                           static_argnames=("t_aud", "d", "dtype"))
-        def _stack_noise(keys, t_aud, d, dtype):
-            draw = lambda k: jax.random.normal(k, (1, t_max, d), dtype)
-            return jax.vmap(draw)(keys)[:, 0, :t_aud]
+        @functools.partial(
+            jax.jit, static_argnames=("t_full", "t_slice", "d", "dtype"))
+        def _stack_noise(keys, t_full, t_slice, d, dtype):
+            draw = lambda k: jax.random.normal(k, (1, t_full, d), dtype)
+            return jax.vmap(draw)(keys)[:, 0, :t_slice]
 
-        self._noise_jit = _stack_noise
+        self._noise_stack = _stack_noise
+        self._noise_jit = lambda keys, t_aud, d, dtype: _stack_noise(
+            keys, t_max, t_aud, d, dtype)
 
     def _encode_prompt(self, text: str):
         ids = self.tokenizer.encode(text, add_special_tokens=False)
@@ -565,15 +577,28 @@ class CALMInference:
             return np.zeros((0,), np.float32)
         return np.concatenate(pieces)
 
+    def _asr_pad(self, latents: np.ndarray):
+        """One item's raw latents [T, D] -> (padded [t_max, D], mask)."""
+        T = latents.shape[0]
+        t_max = self.max_audio_len
+        pad = np.zeros((t_max, latents.shape[1]), np.float32)
+        pad[: min(T, t_max)] = latents[:t_max]
+        mask = (np.arange(t_max) < T).astype(np.int32)
+        return pad, mask
+
+    def _asr_decode_row(self, ids_row: np.ndarray, q_len: int) -> str:
+        extra = set()
+        if self.tokenizer is not None and getattr(
+                self.tokenizer, "eos_token_id", None) is not None:
+            extra.add(self.tokenizer.eos_token_id)
+        final = truncate_at_eos(np.asarray(ids_row), int(q_len), extra)
+        return self.tokenizer.decode(final, skip_special_tokens=True)
+
     def asr(self, latents: np.ndarray, rng: jax.Array, steps: int = 20,
             cfg_scale: float = 1.0, method: str = "euler",
             time_schedule: str = "uniform") -> str:
         """latents [T, latent_dim] -> transcript string."""
-        T = latents.shape[0]
-        t_max = self.max_audio_len
-        pad = np.zeros((t_max, latents.shape[1]), latents.dtype)
-        pad[: min(T, t_max)] = latents[:t_max]
-        mask = (np.arange(t_max) < T).astype(np.int32)
+        pad, mask = self._asr_pad(latents)
         prompt = self._encode_prompt(ASR_PROMPT)[None]
         ids, q_len = self._asr_jit(
             self.params, jnp.asarray(pad[None]),
@@ -583,8 +608,47 @@ class CALMInference:
             num_queries=self.model.cfg.max_text_len,
             method=method, time_schedule=time_schedule,
         )
-        extra = set()
-        if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
-            extra.add(self.tokenizer.eos_token_id)
-        final = truncate_at_eos(np.asarray(ids[0]), int(q_len[0]), extra)
-        return self.tokenizer.decode(final, skip_special_tokens=True)
+        return self._asr_decode_row(ids[0], int(q_len[0]))
+
+    def asr_batch(self, latents_list: list, keys: list, steps: int = 20,
+                  cfg_scale: float = 1.0, method: str = "euler",
+                  time_schedule: str = "uniform",
+                  pad_batch: bool = True) -> list:
+        """Batched ASR: the whole group runs as ONE flow program (the
+        serving batcher's /asr device call). latents_list: per-item raw
+        latents [T_i, latent_dim]; keys: one PRNG key per item — row i's
+        ODE noise is drawn from keys[i] ALONE at the fixed
+        (num_queries, hidden) grid, bit-identical to the solo asr() draw,
+        so batch composition never changes a transcript. Audio pads to the
+        same max_audio_len grid the solo path uses (identical numerics);
+        pad_batch pads B to the next power of two (repeat row 0) so
+        arbitrary group sizes reuse a handful of compiled programs.
+        -> list[str] transcripts."""
+        assert latents_list and len(latents_list) == len(keys)
+        B = len(latents_list)
+        padded = [self._asr_pad(x) for x in latents_list]
+        lat = np.stack([p for p, _ in padded])
+        mask = np.stack([m for _, m in padded])
+        prompt = self._encode_prompt(ASR_PROMPT)[None]
+        karr = jnp.stack([jnp.asarray(k) for k in keys])
+        if pad_batch:
+            Bp = 1 << (B - 1).bit_length()
+            if Bp > B:
+                lat = np.concatenate([lat, np.repeat(lat[:1], Bp - B, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[:1], Bp - B, 0)])
+                karr = jnp.concatenate(
+                    [karr, jnp.repeat(karr[:1], Bp - B, 0)])
+        Bp = lat.shape[0]
+        Q = self.model.cfg.max_text_len
+        x_init = self._noise_stack(
+            karr, Q, Q, self.model.cfg.qwen.hidden_size, self.model.dtype)
+        prompts = jnp.repeat(jnp.asarray(prompt), Bp, 0)
+        ids, q_len = self._asr_jit(
+            self.params, jnp.asarray(lat), jnp.asarray(mask),
+            prompts, jnp.ones_like(prompts), jax.random.PRNGKey(0),
+            steps=steps, cfg_scale=cfg_scale, num_queries=Q,
+            method=method, time_schedule=time_schedule, x_init=x_init,
+        )
+        ids, q_len = np.asarray(ids), np.asarray(q_len)
+        return [self._asr_decode_row(ids[i], int(q_len[i]))
+                for i in range(B)]

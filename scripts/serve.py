@@ -9,11 +9,13 @@ Endpoints:
 
 The reference ships only a (broken) gradio demo; this is the headless
 serving path: one process, jit-compiled once per static shape, requests
-served from the warm cache. Concurrent short /tts requests coalesce into
-ONE batched device program (--max-batch / --batch-window-ms; BASELINE.md
-measured B=8 aggregate at ~1.5x the single-stream per-chip throughput,
-378x vs 249x device-side on the same solver). "seed" pins a request's
-noise so its audio is reproducible and independent of batch composition.
+served from the warm cache. Concurrent short /tts requests — and,
+separately, concurrent /asr requests — coalesce into ONE batched device
+program (--max-batch / --batch-window-ms; BASELINE.md measured B=8
+aggregate at ~1.5x the single-stream per-chip throughput, 378x vs 249x
+device-side on the same solver). "seed" pins a request's noise so its
+audio is reproducible and independent of batch composition; /asr rows
+likewise draw per-request noise, so batching never changes a transcript.
 
   python scripts/serve.py --config configs/calm.yaml \
       --components <dir> [--port 8080] [--byte-tokenizer] [--cpu]
@@ -26,6 +28,7 @@ import sys
 import threading
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
 
 
 def build_engine(args):
@@ -121,21 +124,31 @@ def build_engine(args):
         ):
             yield np.clip(piece, -1, 1)
 
-    def asr(wav_f32, steps):
+    def asr_encode(wav_f32):
+        """Per-request frontend: wav -> VAE latents (one small device
+        call; the expensive flow decode happens in the batched call)."""
         w = process_audio_chunk(jnp.asarray(wav_f32))
         mel = pad_to_stride(frontend(w[None]), vae_cfg.total_stride)
         mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
-        return inf.asr(np.asarray(mu[0]), next_key(), steps=steps,
-                       method=cfg.evaluation.ode_method,
-                       time_schedule=cfg.evaluation.time_schedule)
+        return np.asarray(mu[0])
 
     def single_chunk(text):
         return len(inf.split_chunks(text)) == 1
 
-    def run_tts_batch(group_key, items):
-        """Batcher device call: items = [(text, key)], group_key =
-        (steps, cfg_scale). One batched synthesize + one batched render."""
-        steps, cfg_scale = group_key
+    def run_group(group_key, items):
+        """Batcher device call. group_key routes the task:
+        ("tts", steps, cfg_scale) with items [(text, key)] -> one batched
+        synthesize + one batched render; ("asr", steps) with items
+        [(latents, key)] -> one batched flow decode."""
+        if group_key[0] == "asr":
+            _, steps = group_key
+            return inf.asr_batch(
+                [l for l, _ in items], [k for _, k in items], steps=steps,
+                cfg_scale=cfg.evaluation.asr_cfg_scale,
+                method=cfg.evaluation.ode_method,
+                time_schedule=cfg.evaluation.time_schedule,
+            )
+        _, steps, cfg_scale = group_key
         texts = [t for t, _ in items]
         keys = [k for _, k in items]
         latents, n_frames, _grid = inf.tts_batch(
@@ -146,7 +159,7 @@ def build_engine(args):
         wavs = render.batch(latents, n_frames)
         return [np.clip(w, -1, 1) for w in wavs]
 
-    return tts, tts_stream, asr, next_key, single_chunk, run_tts_batch, cfg
+    return tts, tts_stream, asr_encode, next_key, single_chunk, run_group, cfg
 
 
 def streaming_wav_header(sr=16000):
@@ -199,7 +212,7 @@ def main(argv=None):
                    help="how long an open batch waits for more requests")
     args = p.parse_args(argv)
 
-    (tts, tts_stream, asr, next_key, single_chunk, run_tts_batch,
+    (tts, tts_stream, asr_encode, next_key, single_chunk, run_group,
      cfg) = build_engine(args)
     e = cfg.evaluation
     # threaded server so /health and slow clients don't block each other;
@@ -208,15 +221,15 @@ def main(argv=None):
 
     from audio_calm_tpu.serving import RequestBatcher
 
-    def run_tts_batch_locked(group_key, items):
+    def run_group_locked(group_key, items):
         with device_lock:
             n = len(items)
             if n > 1:
-                print(f"[serve] tts batch size={n} key={group_key}",
-                      file=sys.stderr)
-            return run_tts_batch(group_key, items)
+                print(f"[serve] {group_key[0]} batch size={n} "
+                      f"key={group_key}", file=sys.stderr)
+            return run_group(group_key, items)
 
-    batcher = RequestBatcher(run_tts_batch_locked,
+    batcher = RequestBatcher(run_group_locked,
                              max_batch=max(1, args.max_batch),
                              window_ms=args.batch_window_ms)
 
@@ -247,85 +260,97 @@ def main(argv=None):
             body = self.rfile.read(n)
             try:
                 if self.path == "/tts":
-                    req = json.loads(body or b"{}")
-                    text = req.get("text", "")
-                    if not text:
-                        return self._json(400, {"error": "missing 'text'"})
-                    steps = int(req.get("steps", e.steps))
-                    scale = float(req.get("cfg_scale", e.cfg_scale))
-                    seed = req.get("seed")
-                    key = next_key(seed)
-                    if req.get("stream"):
-                        # chunked streaming: audio goes out as each text
-                        # chunk is synthesized -> time-to-first-audio is one
-                        # chunk, not the whole utterance. WAV header carries
-                        # the unknown-length sentinel (0xFFFFFFFF sizes),
-                        # the streaming-WAV convention.
-                        self.send_response(200)
-                        self.send_header("Content-Type", "audio/wav")
-                        self.send_header("Transfer-Encoding", "chunked")
-                        self.end_headers()
-
-                        def emit(chunk: bytes):
-                            self.wfile.write(
-                                f"{len(chunk):x}\r\n".encode()
-                                + chunk + b"\r\n"
-                            )
-
-                        try:
-                            emit(streaming_wav_header())
-                            # chunk-granular locking: hold the device only
-                            # while synthesizing the next piece; the socket
-                            # write happens OUTSIDE the lock so a slow or
-                            # stalled client can't block other /tts and
-                            # /asr requests, and concurrent requests
-                            # interleave at chunk granularity
-                            gen = tts_stream(text, key, steps, scale)
-                            while True:
-                                with device_lock:
-                                    piece = next(gen, None)
-                                if piece is None:
-                                    break
-                                emit((piece * 32767).astype("<i2")
-                                     .tobytes())
-                            self.wfile.write(b"0\r\n\r\n")
-                        except Exception as ex:
-                            # headers are already out: abort the connection
-                            # (missing chunked terminator = client sees a
-                            # truncated stream) instead of corrupting the
-                            # framing with a second response
-                            print(f"[serve] stream aborted: {ex}",
-                                  file=sys.stderr)
-                            self.close_connection = True
-                        return
-                    if single_chunk(text):
-                        # concurrent short requests coalesce into one
-                        # batched device program (group = same ODE
-                        # settings); the Future resolves off the worker
-                        wav = batcher.submit((steps, scale),
-                                             (text, key)).result()
-                    else:
-                        # long-form (multi-chunk) synthesis stays solo
-                        with device_lock:
-                            wav = tts(text, key, steps, scale)
-                    data = wav_bytes(wav)
-                    self.send_response(200)
-                    self.send_header("Content-Type", "audio/wav")
-                    self.send_header("Content-Length", str(len(data)))
-                    self.end_headers()
-                    self.wfile.write(data)
-                    return
-                if self.path == "/asr":
-                    try:
-                        x = parse_wav(body)
-                    except Exception:
-                        return self._json(400, {"error": "body must be WAV"})
-                    with device_lock:
-                        text = asr(x, e.asr_steps)
-                    return self._json(200, {"text": text})
+                    return self._post_tts(body)
+                if self.path.split("?", 1)[0] == "/asr":
+                    return self._post_asr(body)
                 return self._json(404, {"error": "unknown path"})
             except Exception as ex:  # surface, don't crash the server
                 return self._json(500, {"error": str(ex)})
+
+        def _post_tts(self, body):
+            req = json.loads(body or b"{}")
+            text = req.get("text", "")
+            if not text:
+                return self._json(400, {"error": "missing 'text'"})
+            steps = int(req.get("steps", e.steps))
+            scale = float(req.get("cfg_scale", e.cfg_scale))
+            seed = req.get("seed")
+            key = next_key(seed)
+            if req.get("stream"):
+                # chunked streaming: audio goes out as each text
+                # chunk is synthesized -> time-to-first-audio is one
+                # chunk, not the whole utterance. WAV header carries
+                # the unknown-length sentinel (0xFFFFFFFF sizes),
+                # the streaming-WAV convention.
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(chunk: bytes):
+                    self.wfile.write(
+                        f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n"
+                    )
+
+                try:
+                    emit(streaming_wav_header())
+                    # chunk-granular locking: hold the device only
+                    # while synthesizing the next piece; the socket
+                    # write happens OUTSIDE the lock so a slow or
+                    # stalled client can't block other /tts and
+                    # /asr requests, and concurrent requests
+                    # interleave at chunk granularity
+                    gen = tts_stream(text, key, steps, scale)
+                    while True:
+                        with device_lock:
+                            piece = next(gen, None)
+                        if piece is None:
+                            break
+                        emit((piece * 32767).astype("<i2").tobytes())
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception as ex:
+                    # headers are already out: abort the connection
+                    # (missing chunked terminator = client sees a
+                    # truncated stream) instead of corrupting the
+                    # framing with a second response
+                    print(f"[serve] stream aborted: {ex}",
+                          file=sys.stderr)
+                    self.close_connection = True
+                return
+            if single_chunk(text):
+                # concurrent short requests coalesce into one
+                # batched device program (group = same ODE
+                # settings); the Future resolves off the worker
+                wav = batcher.submit(("tts", steps, scale),
+                                     (text, key)).result()
+            else:
+                # long-form (multi-chunk) synthesis stays solo
+                with device_lock:
+                    wav = tts(text, key, steps, scale)
+            data = wav_bytes(wav)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _post_asr(self, body):
+            try:
+                x = parse_wav(body)
+            except Exception:
+                return self._json(400, {"error": "body must be WAV"})
+            # optional ?seed=N pins this request's flow noise (same
+            # contract as the /tts "seed" field)
+            q = parse_qs(urlsplit(self.path).query)
+            seed = q.get("seed", [None])[0]
+            # frontend (wav -> VAE latents) is one small device
+            # call; the expensive flow decode coalesces with
+            # concurrent /asr requests into one batched program
+            with device_lock:
+                lat = asr_encode(x)
+            text = batcher.submit(("asr", e.asr_steps),
+                                  (lat, next_key(seed))).result()
+            return self._json(200, {"text": text})
 
     # --port 0 binds an ephemeral port; the "serving on :<port>" line is the
     # contract test harnesses parse to find it

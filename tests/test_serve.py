@@ -243,3 +243,44 @@ def test_tts_concurrent_requests_batch_safely(server):
     # grid-padding boundary differs when the batch picked a bigger grid)
     body = max(1, len(got) - 4096)
     assert np.abs(got[:body] - solo[:body]).max() <= 2 / 32768.0
+
+
+def _asr_post(server, freq, seed=None):
+    """POST a 1 s sine-tone WAV to /asr (optionally seeded) -> transcript."""
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = (0.3 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+    url = server + "/asr" + (f"?seed={seed}" if seed is not None else "")
+    req = urllib.request.Request(url, data=buf.getvalue(),
+                                 headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.load(r)["text"]
+
+
+def test_asr_concurrent_requests_batch_safely(server):
+    """Concurrent /asr requests (which the server may coalesce into one
+    batched flow program) must each return exactly the transcript the
+    identical seeded request gets when served alone."""
+    import threading as th
+
+    freqs = (220, 440, 660)
+    solos = {f: _asr_post(server, f, seed=f) for f in freqs}
+    out = {}
+    barrier = th.Barrier(len(freqs))
+
+    def client(f):
+        barrier.wait()
+        out[f] = _asr_post(server, f, seed=f)
+
+    threads = [th.Thread(target=client, args=(f,)) for f in freqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert out == solos

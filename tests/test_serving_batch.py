@@ -139,12 +139,10 @@ def tiny_inf():
         lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
     )
     model = QwenCALM(cfg, dtype=jnp.float32)
-    rng = jax.random.PRNGKey(0)
-    params = model.init(
-        rng, jnp.zeros((1, 6), jnp.int32), jnp.ones((1, 6), jnp.int32),
-        jnp.zeros((1, 16, 8), jnp.float32), jnp.ones((1, 16), jnp.int32),
-        method=model.forward_tts,
-    )
+    # full param set (TTS + ASR branches) like serve.py's engine build
+    from audio_calm_tpu.models.calm import init_calm_params
+
+    params = {"params": init_calm_params(model, jax.random.PRNGKey(0))}
     return CALMInference(model, params, ByteTokenizer(),
                          audio_buckets=[16, 32], text_buckets=[64, 96])
 
@@ -218,3 +216,34 @@ def test_render_batch_matches_solo(tiny_inf):
         solo = render(lat[i], n)
         assert wavs[i].shape == solo.shape
         np.testing.assert_allclose(wavs[i], solo, rtol=1e-5, atol=1e-5)
+
+
+def test_asr_batch_matches_solo_rows(tiny_inf):
+    """Each batched ASR row must decode to exactly the transcript the solo
+    asr() call produces from the same key: per-item noise at the fixed
+    (num_queries, hidden) grid + masked batch compute means batch
+    composition cannot change a request's transcript."""
+    inf = tiny_inf
+    rng = np.random.default_rng(3)
+    lats = [rng.standard_normal((t, 8)).astype(np.float32)
+            for t in (10, 16, 7)]
+    keys = [jax.random.PRNGKey(s) for s in (5, 6, 7)]
+    batch = inf.asr_batch(lats, keys, steps=3, cfg_scale=1.0)
+    assert len(batch) == 3
+    for i, (lat, key) in enumerate(zip(lats, keys)):
+        solo = inf.asr(lat, key, steps=3, cfg_scale=1.0)
+        assert batch[i] == solo, f"row {i}: {batch[i]!r} != {solo!r}"
+
+
+def test_asr_batch_solver_plumbing(tiny_inf):
+    """asr_batch honors method/time_schedule (the shipped midpoint-10
+    default path) and pads odd batch sizes to a power of two."""
+    inf = tiny_inf
+    rng = np.random.default_rng(4)
+    lats = [rng.standard_normal((12, 8)).astype(np.float32)
+            for _ in range(3)]
+    keys = [jax.random.PRNGKey(i) for i in range(3)]
+    out = inf.asr_batch(lats, keys, steps=2, method="midpoint")
+    assert len(out) == 3 and all(isinstance(t, str) for t in out)
+    solo = inf.asr(lats[0], keys[0], steps=2, method="midpoint")
+    assert out[0] == solo
