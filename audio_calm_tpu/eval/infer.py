@@ -324,8 +324,20 @@ class CALMInference:
     def __init__(self, model: QwenCALM, params, tokenizer=None,
                  max_audio_len: Optional[int] = None,
                  audio_buckets: Optional[list] = None,
-                 text_buckets: Optional[list] = None):
+                 text_buckets: Optional[list] = None,
+                 mesh=None):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving: TP-shard the transformer kernels over the
+            # mesh's "model" axis (one device_put for the whole tree) and
+            # let the SAME jitted programs compile SPMD; batched entry
+            # points shard their rows over "data" (parallel.infer_shard)
+            from audio_calm_tpu.parallel.infer_shard import (
+                shard_inference_params,
+            )
+
+            params = shard_inference_params(params, mesh)
         self.params = params
         self.tokenizer = tokenizer
         self.max_audio_len = max_audio_len or model.cfg.max_audio_len
@@ -485,8 +497,12 @@ class CALMInference:
                 mask = np.concatenate([mask, np.repeat(mask[:1], Bp - B, 0)])
                 karr = jnp.concatenate([karr, jnp.repeat(karr[:1], Bp - B, 0)])
 
+        from audio_calm_tpu.parallel.infer_shard import shard_batch_rows
+
+        ids_j, mask_j, karr = shard_batch_rows(
+            (jnp.asarray(ids), jnp.asarray(mask), karr), self.mesh)
         cond_vec, text_ctx, text_pad, num_frames = self._tts_encode_jit(
-            self.params, jnp.asarray(ids), jnp.asarray(mask)
+            self.params, ids_j, mask_j
         )
         nf = np.asarray(num_frames)[:B]
         t_aud = self.pick_bucket(int(nf.max()))
@@ -640,11 +656,15 @@ class CALMInference:
                     [karr, jnp.repeat(karr[:1], Bp - B, 0)])
         Bp = lat.shape[0]
         Q = self.model.cfg.max_text_len
+        from audio_calm_tpu.parallel.infer_shard import shard_batch_rows
+
+        lat_j, mask_j, karr, prompts = shard_batch_rows(
+            (jnp.asarray(lat), jnp.asarray(mask), karr,
+             jnp.repeat(jnp.asarray(prompt), Bp, 0)), self.mesh)
         x_init = self._noise_stack(
             karr, Q, Q, self.model.cfg.qwen.hidden_size, self.model.dtype)
-        prompts = jnp.repeat(jnp.asarray(prompt), Bp, 0)
         ids, q_len = self._asr_jit(
-            self.params, jnp.asarray(lat), jnp.asarray(mask),
+            self.params, lat_j, mask_j,
             prompts, jnp.ones_like(prompts), jax.random.PRNGKey(0),
             steps=steps, cfg_scale=cfg_scale, num_queries=Q,
             method=method, time_schedule=time_schedule, x_init=x_init,

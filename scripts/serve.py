@@ -36,6 +36,9 @@ def build_engine(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.dp * args.tp > 1:
+            jax.config.update("jax_num_cpu_devices",
+                              max(8, args.dp * args.tp))
 
     import jax.numpy as jnp
     import numpy as np
@@ -69,11 +72,23 @@ def build_engine(args):
         )
     from audio_calm_tpu.models.quant import maybe_quantize_from_env
 
+    mesh = None
+    if args.dp * args.tp > 1:
+        # multi-chip serving: TP splits the weight-bandwidth-bound LLM
+        # encode over ICI, DP shards batched request groups
+        # (parallel/infer_shard.py); same jitted programs, compiled SPMD
+        from audio_calm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.dp, model=args.tp,
+                         devices=jax.devices()[: args.dp * args.tp])
+        print(f"[serve] mesh {dict(mesh.shape)}", file=sys.stderr)
+
     inf = CALMInference(model,
                         maybe_quantize_from_env({"params": params}),
                         tokenizer,
                         audio_buckets=cfg.evaluation.audio_buckets,
-                        text_buckets=cfg.evaluation.text_buckets)
+                        text_buckets=cfg.evaluation.text_buckets,
+                        mesh=mesh)
 
     vae_cfg = VAEModelConfig(latent_channels=m.latent_dim)
     if m.vae_path:
@@ -210,6 +225,12 @@ def main(argv=None):
                         "batched device program (1 = no batching)")
     p.add_argument("--batch-window-ms", type=float, default=10.0,
                    help="how long an open batch waits for more requests")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel chips: batched request groups shard "
+                        "their rows over this many devices")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel chips: Megatron-split the LLM "
+                        "encode over this many devices (dp*tp <= devices)")
     args = p.parse_args(argv)
 
     (tts, tts_stream, asr_encode, next_key, single_chunk, run_group,
