@@ -26,6 +26,7 @@ import io
 import json
 import sys
 import threading
+import time
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
@@ -240,7 +241,9 @@ def main(argv=None):
     # device work itself is serialized (one chip, one engine)
     device_lock = threading.Lock()
 
-    from audio_calm_tpu.serving import RequestBatcher
+    from audio_calm_tpu.serving import RequestBatcher, ServingStats
+
+    stats = ServingStats()
 
     def run_group_locked(group_key, items):
         with device_lock:
@@ -248,7 +251,10 @@ def main(argv=None):
             if n > 1:
                 print(f"[serve] {group_key[0]} batch size={n} "
                       f"key={group_key}", file=sys.stderr)
-            return run_group(group_key, items)
+            t0 = time.monotonic()
+            out = run_group(group_key, items)
+            stats.record_group(group_key[0], n, time.monotonic() - t0)
+            return out
 
     batcher = RequestBatcher(run_group_locked,
                              max_batch=max(1, args.max_batch),
@@ -274,18 +280,25 @@ def main(argv=None):
         def do_GET(self):
             if self.path == "/health":
                 return self._json(200, {"status": "ok"})
+            if self.path == "/stats":
+                # serving telemetry: request/error counts, client-latency
+                # percentiles, coalesced-batch-size histograms (the "is
+                # batching working" number) — see serving/stats.py
+                return self._json(200, stats.snapshot())
             return self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
+            route = self.path.split("?", 1)[0]
             try:
-                if self.path == "/tts":
+                if route == "/tts":
                     return self._post_tts(body)
-                if self.path.split("?", 1)[0] == "/asr":
+                if route == "/asr":
                     return self._post_asr(body)
                 return self._json(404, {"error": "unknown path"})
             except Exception as ex:  # surface, don't crash the server
+                stats.record_request(route.lstrip("/"), 0.0, error=True)
                 return self._json(500, {"error": str(ex)})
 
         def _post_tts(self, body):
@@ -297,6 +310,7 @@ def main(argv=None):
             scale = float(req.get("cfg_scale", e.cfg_scale))
             seed = req.get("seed")
             key = next_key(seed)
+            t0 = time.monotonic()
             if req.get("stream"):
                 # chunked streaming: audio goes out as each text
                 # chunk is synthesized -> time-to-first-audio is one
@@ -322,13 +336,22 @@ def main(argv=None):
                     # /asr requests, and concurrent requests
                     # interleave at chunk granularity
                     gen = tts_stream(text, key, steps, scale)
+                    first = True
                     while True:
                         with device_lock:
                             piece = next(gen, None)
                         if piece is None:
                             break
+                        if first:
+                            # TTFA: the latency clients actually feel
+                            stats.record_request(
+                                "tts_stream_first_chunk",
+                                time.monotonic() - t0)
+                            first = False
                         emit((piece * 32767).astype("<i2").tobytes())
                     self.wfile.write(b"0\r\n\r\n")
+                    stats.record_request("tts_stream",
+                                         time.monotonic() - t0)
                 except Exception as ex:
                     # headers are already out: abort the connection
                     # (missing chunked terminator = client sees a
@@ -336,6 +359,7 @@ def main(argv=None):
                     # framing with a second response
                     print(f"[serve] stream aborted: {ex}",
                           file=sys.stderr)
+                    stats.record_request("tts_stream", 0.0, error=True)
                     self.close_connection = True
                 return
             if single_chunk(text):
@@ -349,6 +373,7 @@ def main(argv=None):
                 with device_lock:
                     wav = tts(text, key, steps, scale)
             data = wav_bytes(wav)
+            stats.record_request("tts", time.monotonic() - t0)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(data)))
@@ -356,6 +381,7 @@ def main(argv=None):
             self.wfile.write(data)
 
         def _post_asr(self, body):
+            t0 = time.monotonic()
             try:
                 x = parse_wav(body)
             except Exception:
@@ -371,6 +397,7 @@ def main(argv=None):
                 lat = asr_encode(x)
             text = batcher.submit(("asr", e.asr_steps),
                                   (lat, next_key(seed))).result()
+            stats.record_request("asr", time.monotonic() - t0)
             return self._json(200, {"text": text})
 
     # --port 0 binds an ephemeral port; the "serving on :<port>" line is the

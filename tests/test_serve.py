@@ -284,3 +284,28 @@ def test_asr_concurrent_requests_batch_safely(server):
     for t in threads:
         t.join(timeout=600)
     assert out == solos
+
+
+def test_stats_endpoint(server):
+    """GET /stats reflects the traffic the earlier tests generated:
+    request counts per route, latency percentiles, and coalesced-batch
+    histograms whose item totals match the request counts."""
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        s = json.load(r)
+    assert s["uptime_s"] > 0
+    # the earlier tests drove /tts (solo + batched), streaming, and /asr
+    assert s["requests"].get("tts", 0) >= 1
+    assert s["requests"].get("asr", 0) >= 1
+    assert s["requests"].get("tts_stream", 0) >= 1
+    # TTFA reservoir exists for streaming
+    assert "tts_stream_first_chunk" in s["request_latency_s"]
+    for kind in ("tts", "asr"):
+        lat = s["request_latency_s"][kind]
+        assert lat["count"] == s["requests"][kind]
+        assert 0 < lat["p50"] <= lat["p99"]
+    # batched device calls: total items across the size histogram equals
+    # the number of single-chunk requests that went through the batcher
+    asr_batches = s["batches"]["asr"]
+    items = sum(int(k) * v for k, v in asr_batches["sizes"].items())
+    assert items == s["requests"]["asr"]
+    assert asr_batches["mean_batch"] >= 1.0

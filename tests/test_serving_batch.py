@@ -247,3 +247,55 @@ def test_asr_batch_solver_plumbing(tiny_inf):
     assert len(out) == 3 and all(isinstance(t, str) for t in out)
     solo = inf.asr(lats[0], keys[0], steps=2, method="midpoint")
     assert out[0] == solo
+
+
+def test_serving_stats_snapshot():
+    """ServingStats: counters, error separation, percentile reservoirs,
+    and the batch-size histogram/mean — pure unit, no server."""
+    from audio_calm_tpu.serving import ServingStats
+
+    s = ServingStats(max_samples=16)
+    for i in range(10):
+        s.record_request("tts", 0.1 * (i + 1))
+    s.record_request("tts", 0.0, error=True)
+    s.record_group("tts", 4, 0.2)
+    s.record_group("tts", 2, 0.1)
+    s.record_group("asr", 1, 0.05)
+    snap = s.snapshot()
+    assert snap["requests"] == {"tts": 10}
+    assert snap["errors"] == {"tts": 1}
+    lat = snap["request_latency_s"]["tts"]
+    assert lat["count"] == 10
+    assert lat["p50"] == pytest.approx(0.5, abs=0.11)
+    assert lat["p99"] == pytest.approx(1.0, abs=0.01)
+    assert lat["mean"] == pytest.approx(0.55, abs=1e-6)
+    b = snap["batches"]["tts"]
+    assert b["sizes"] == {"2": 1, "4": 1}
+    assert b["calls"] == 2 and b["mean_batch"] == 3.0
+    assert snap["batches"]["asr"]["mean_batch"] == 1.0
+    # reservoir is bounded: 100 more samples keep only the last 16
+    for i in range(100):
+        s.record_request("asr", float(i))
+    assert s.snapshot()["request_latency_s"]["asr"]["count"] == 16
+
+
+def test_serving_stats_thread_safety():
+    """Concurrent recorders from many threads lose no counts."""
+    from audio_calm_tpu.serving import ServingStats
+
+    s = ServingStats()
+    n_threads, per = 8, 200
+
+    def worker(k):
+        for i in range(per):
+            s.record_request(f"kind{k % 2}", 0.01)
+            s.record_group("tts", 1 + (i % 4), 0.01)
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    snap = s.snapshot()
+    assert sum(snap["requests"].values()) == n_threads * per
+    assert snap["batches"]["tts"]["calls"] == n_threads * per
