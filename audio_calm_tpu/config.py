@@ -341,6 +341,14 @@ class EvaluationConfig:
     asr_cfg_scale: float = 1.0
     ode_method: str = "midpoint"  # "euler" (reference protocol) | "midpoint"
     time_schedule: str = "uniform"  # "uniform" (reference) | "sway"
+    # Compute dtype of the CALM inference graph (LLM encode + flow ODE).
+    # "float32" reproduces the reference eval protocol exactly (the
+    # reference casts every module to torch.float32, eval_calm.py:284);
+    # "bfloat16" is the TPU serving recipe — MXU-native compute AND bf16
+    # float-param storage, so the per-ODE-step weight re-reads don't pay
+    # fp32 HBM traffic (this is what BASELINE.md serving numbers measure).
+    # Mel frontend / VAE / vocoder stay fp32 either way.
+    compute_dtype: str = "float32"
     eval_asr_model: Optional[str] = None
     seed: int = 42
     datasets: Dict[str, DatasetPaths] = field(default_factory=dict)

@@ -418,7 +418,16 @@ def init_calm_params(
     linen initializes lazily per code path, so forward_tts alone would skip
     the ASR cross-attn / query / head; init both and merge (identical seeds
     give identical shared params).
+
+    Each branch init is wrapped in jax.jit: linen's Module.init executes
+    EAGERLY (op by op), which for the flagship 1.5B model would mean
+    thousands of device dispatches — prohibitive through a ~26 ms/dispatch
+    remote-TPU tunnel (BASELINE.md calibration) and wasteful everywhere.
+    Under jit the whole init is ONE compiled program; values are identical
+    (tracing does not change flax's deterministic RNG folding).
     """
+    import functools
+
     c = model.cfg
     rngs = {
         "params": rng,
@@ -430,14 +439,12 @@ def init_calm_params(
     latents = jnp.zeros((batch_size, audio_len, c.latent_dim), jnp.float32)
     amask = jnp.ones((batch_size, audio_len), jnp.int32)
     labels = jnp.zeros((batch_size, text_len), jnp.int32)
-    p_tts = model.init(
-        rngs, text_ids, mask, latents, amask, train=False,
-        method=QwenCALM.forward_tts,
-    )["params"]
-    p_asr = model.init(
-        rngs, text_ids, mask, latents, amask, labels, train=False,
-        method=QwenCALM.forward_asr,
-    )["params"]
+    p_tts = jax.jit(functools.partial(
+        model.init, train=False, method=QwenCALM.forward_tts,
+    ))(rngs, text_ids, mask, latents, amask)["params"]
+    p_asr = jax.jit(functools.partial(
+        model.init, train=False, method=QwenCALM.forward_asr,
+    ))(rngs, text_ids, mask, latents, amask, labels)["params"]
     merged = {**p_asr, **p_tts}
     # SOA initialized from the mean vocab embedding, as the reference does
     merged["soa_embed"] = init_soa_value(merged["embed"]["embedding"])

@@ -53,6 +53,22 @@ def cast_floating(tree, dtype):
     )
 
 
+_COMPUTE_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def resolve_compute_dtype(name: str):
+    """evaluation.compute_dtype -> jnp dtype. "float32" is the reference
+    eval protocol (the reference casts every module to torch.float32,
+    eval_calm.py:284); "bfloat16" is the TPU serving recipe."""
+    try:
+        return _COMPUTE_DTYPES[name]
+    except KeyError:
+        raise ValueError(
+            "evaluation.compute_dtype must be one of "
+            f"{sorted(_COMPUTE_DTYPES)}, got {name!r}"
+        ) from None
+
+
 def device_random_params(shapes, seed: int = 0, scale: float = 0.02):
     """Materialize a whole parameter tree of small random normals in ONE
     jitted program (a per-leaf host loop would mean hundreds of dispatches;

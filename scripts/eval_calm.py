@@ -58,7 +58,14 @@ def main(argv=None):
 
         tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
 
-    model = QwenCALM(m, dtype=jnp.float32)
+    # evaluation.compute_dtype: float32 (default) = the reference eval
+    # protocol (reference eval_calm.py:284 casts modules to torch.float32);
+    # bfloat16 = the TPU serving recipe (bf16 compute + param storage).
+    from audio_calm_tpu.models.flagship import (cast_floating,
+                                                resolve_compute_dtype)
+
+    dtype = resolve_compute_dtype(e.compute_dtype)
+    model = QwenCALM(m, dtype=dtype)
     params = init_calm_params(model, jax.random.PRNGKey(e.seed))
     if m.qwen_path and os.path.isdir(m.qwen_path):
         sd = load_hf_dir_state_dict(m.qwen_path)
@@ -74,6 +81,8 @@ def main(argv=None):
             params, {c: comp_dir for c in COMPONENTS + ("lora",)}
         )
         print(f"loaded components from {comp_dir}")
+    if dtype == jnp.bfloat16:
+        params = cast_floating(params, jnp.bfloat16)
 
     from audio_calm_tpu.models.quant import maybe_quantize_from_env
 

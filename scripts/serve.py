@@ -65,12 +65,22 @@ def build_engine(args):
 
         tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
 
-    model = QwenCALM(m, dtype=jnp.float32)
+    # evaluation.compute_dtype: float32 = reference eval protocol;
+    # bfloat16 = the TPU serving recipe (MXU compute + bf16 param storage,
+    # the configuration BASELINE.md's serving numbers measure). Checkpoints
+    # load at their stored precision first, then cast.
+    from audio_calm_tpu.models.flagship import (cast_floating,
+                                                resolve_compute_dtype)
+
+    dtype = resolve_compute_dtype(cfg.evaluation.compute_dtype)
+    model = QwenCALM(m, dtype=dtype)
     params = init_calm_params(model, jax.random.PRNGKey(0))
     if args.components:
         params = soft_restart(
             params, {c: args.components for c in COMPONENTS + ("lora",)}
         )
+    if dtype == jnp.bfloat16:
+        params = cast_floating(params, jnp.bfloat16)
     from audio_calm_tpu.models.quant import maybe_quantize_from_env
 
     mesh = None

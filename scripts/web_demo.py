@@ -59,12 +59,18 @@ def main(argv=None):
 
         tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
 
-    model = QwenCALM(m, dtype=jnp.float32)
+    from audio_calm_tpu.models.flagship import (cast_floating,
+                                                resolve_compute_dtype)
+
+    dtype = resolve_compute_dtype(cfg.evaluation.compute_dtype)
+    model = QwenCALM(m, dtype=dtype)
     params = init_calm_params(model, jax.random.PRNGKey(0))
     if args.components:
         params = soft_restart(
             params, {c: args.components for c in COMPONENTS + ("lora",)}
         )
+    if dtype == jnp.bfloat16:
+        params = cast_floating(params, jnp.bfloat16)
     inf = CALMInference(model, {"params": params}, tokenizer,
                         audio_buckets=cfg.evaluation.audio_buckets,
                         text_buckets=cfg.evaluation.text_buckets)

@@ -284,3 +284,54 @@ def test_tts_long_chunks_and_renders(tiny):
     expect = sum(n * 1024 for _, n in rendered) - (n_chunks - 1) * fade
     assert wav.shape[0] == expect
     assert np.isfinite(wav).all()
+
+
+def test_compute_dtype_resolution():
+    """resolve_compute_dtype: the evaluation.compute_dtype contract."""
+    from audio_calm_tpu.models.flagship import resolve_compute_dtype
+
+    assert resolve_compute_dtype("float32") == jnp.float32
+    assert resolve_compute_dtype("bfloat16") == jnp.bfloat16
+    with pytest.raises(ValueError, match="compute_dtype"):
+        resolve_compute_dtype("float16")
+
+
+def test_bf16_serving_recipe_pipeline(tiny):
+    """The TPU serving recipe (bf16 compute + bf16 float-param storage, what
+    evaluation.compute_dtype=bfloat16 selects in serve/eval/web_demo) runs
+    the full TTS generate end-to-end with finite output and stays close to
+    the fp32 protocol on the same weights."""
+    from audio_calm_tpu.models.flagship import cast_floating
+
+    model_f32, params = tiny
+    model_bf16 = QwenCALM(model_f32.cfg, dtype=jnp.bfloat16)
+    params_bf16 = jax.tree_util.tree_map(lambda x: x,
+                                         cast_floating(params, jnp.bfloat16))
+    text_ids = jnp.asarray([[3, 5, 7, 9, 0, 0]])
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]])
+    lat32, n32 = tts_generate_latents(
+        model_f32, params, text_ids, mask, jax.random.PRNGKey(0),
+        steps=4, cfg_scale=2.5, t_aud=32,
+    )
+    lat16, n16 = tts_generate_latents(
+        model_bf16, params_bf16, text_ids, mask, jax.random.PRNGKey(0),
+        steps=4, cfg_scale=2.5, t_aud=32,
+    )
+    assert np.isfinite(np.asarray(lat16)).all()
+    # the length pipeline (fp32 norms/softmax, short reductions) must not
+    # change the predicted frame count
+    assert int(n16[0]) == int(n32[0])
+    # the ODE endpoint itself is NOT compared: on a random-init model the
+    # CFG-amplified trajectory diverges chaotically from fp32 under bf16
+    # rounding (measured ~1.5 rel here; trained fields are smooth — the
+    # shipped quality evidence is BASELINE.md's ODE-quality table). The
+    # accuracy contract that IS checkable at random init: one LLM encode
+    # pass tracks fp32 tightly.
+    _, h32, _ = model_f32.apply(params, text_ids, mask, False,
+                                method=QwenCALM.encode_text_for_tts)
+    _, h16, _ = model_bf16.apply(params_bf16, text_ids, mask, False,
+                                 method=QwenCALM.encode_text_for_tts)
+    a = np.asarray(h32, np.float32)
+    b = np.asarray(h16, np.float32)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, rel

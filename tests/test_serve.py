@@ -37,6 +37,10 @@ model:
 evaluation:
   audio_buckets: [16, 32]
   text_buckets: [64, 96]
+  # the shipped serving recipe (configs/calm.yaml): exercises serve.py's
+  # bf16 cast path; batch-invariance is bitwise under bf16 too (verified —
+  # rows are independent, so batch composition can't change a row's math)
+  compute_dtype: bfloat16
 """
 
 @pytest.fixture(scope="module")

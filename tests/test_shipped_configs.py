@@ -73,3 +73,17 @@ def test_shipped_eval_uses_buckets():
         assert e.audio_buckets[-1] == cfg.data.max_audio_len
         assert e.text_buckets == sorted(e.text_buckets)
         assert e.text_buckets[-1] == cfg.data.max_text_len
+
+
+def test_shipped_serving_compute_dtype():
+    """The TTS-capable configs ship the measured TPU serving recipe (bf16
+    compute; BASELINE.md serving numbers), and the value resolves. The ASR
+    training config leaves the default float32 (reference eval protocol)."""
+    from audio_calm_tpu.models.flagship import resolve_compute_dtype
+
+    for name in ("configs/tts.yaml", "configs/calm.yaml"):
+        cfg = load_config(name, cls=CALMConfig)
+        assert cfg.evaluation.compute_dtype == "bfloat16", name
+        resolve_compute_dtype(cfg.evaluation.compute_dtype)
+    asr = load_config("configs/asr.yaml", cls=CALMConfig)
+    assert asr.evaluation.compute_dtype == "float32"
