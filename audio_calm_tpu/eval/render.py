@@ -59,9 +59,21 @@ def make_renderer(
     def render_batch(latents: np.ndarray, n_frames) -> list:
         """Batched form for the serving batcher: latents [B, T_grid, D]
         (one shared grid), n_frames per item -> list of host waveforms.
-        The decode/vocoder programs are shape-polymorphic, so this is the
-        same pipeline at batch B (one compile per (B, grid))."""
-        x = jnp.asarray(np.asarray(latents, np.float32))
+
+        B pads to the next power of two (repeat row 0) before the device
+        call, mirroring CALMInference.tts_batch: the serving batcher forms
+        arbitrary group sizes, and compiling a render program per EXACT
+        row count means a fresh multi-minute compile the first time a
+        6-item batch shows up mid-serving (observed through the remote
+        tunnel). Padded, the whole serving render matrix is bounded at
+        {1,2,4,8} x grid buckets; rows are independent so padding cannot
+        change an item's audio."""
+        lat = np.asarray(latents, np.float32)
+        B = lat.shape[0]
+        Bp = 1 << (B - 1).bit_length()
+        if Bp > B:
+            lat = np.concatenate([lat, np.repeat(lat[:1], Bp - B, 0)])
+        x = jnp.asarray(lat)
         wav = pipeline(x) if hifi else vocoder(decode(x))
         w = np.asarray(wav)
         return [w[i][: int(n) * SAMPLES_PER_FRAME]
