@@ -49,7 +49,7 @@ def build_engine(args):
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
     from audio_calm_tpu.models.vae import AcousticVAE, pad_to_stride
     from audio_calm_tpu.models.vocoder import load_vocoder
-    from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
+    from audio_calm_tpu.ops.mel import MelFrontend
     from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
     from audio_calm_tpu.utils.cache import enable_compilation_cache
 
@@ -150,13 +150,52 @@ def build_engine(args):
         ):
             yield np.clip(piece, -1, 1)
 
-    def asr_encode(wav_f32):
-        """Per-request frontend: wav -> VAE latents (one small device
-        call; the expensive flow decode happens in the batched call)."""
-        w = process_audio_chunk(jnp.asarray(wav_f32))
-        mel = pad_to_stride(frontend(w[None]), vae_cfg.total_stride)
+    # ASR frontend buckets: wav lengths quantize to the latent-grid
+    # buckets (1024 samples per latent frame), so concurrent /asr
+    # frontends coalesce into ONE batched (padded-B, bucket) program
+    # instead of a solo device round-trip per request. Measured without
+    # this (BASELINE.md "HTTP serving load"): the per-request frontend
+    # serialized under the device lock capped /asr at mean batch 2.8 and
+    # p50 2.9 s under 8-client load.
+    lat_buckets = cfg.evaluation.audio_buckets or [m.max_audio_len]
+    wav_buckets = [int(b) * 4 * 256 for b in lat_buckets]
+
+    def prep_asr(wav_f32):
+        """Host-side: clamp to the largest grid, pick the smallest wav
+        bucket that fits, zero-pad. -> (bucket, padded [bucket], n)."""
+        n = min(len(wav_f32), wav_buckets[-1])
+        bucket = next(b for b in wav_buckets if n <= b)
+        padded = np.zeros(bucket, np.float32)
+        padded[:n] = np.asarray(wav_f32[:n], np.float32)
+        return bucket, padded, n
+
+    @jax.jit
+    def _fe_jit(wavs):
+        # per-row peak normalization (process_audio_chunk semantics; zero
+        # padding never changes a row's peak), mel, VAE encode
+        p = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
+        w = jnp.where(p > 0, wavs / (p + 1e-8) * 0.95, wavs)
+        mel = pad_to_stride(frontend(w), vae_cfg.total_stride)
         mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
-        return np.asarray(mu[0])
+        return mu
+
+    def asr_frontend_batch(items):
+        """Batched wav -> VAE latents. items: [(wav_padded, n_samples)]
+        sharing one wav bucket; rows pad to the next power of two
+        (bounded compile matrix; rows are independent, so padding and
+        batch composition cannot change an item's latents)."""
+        wavs = np.stack([w for w, _ in items])
+        B = wavs.shape[0]
+        Bp = 1 << (B - 1).bit_length()
+        if Bp > B:
+            wavs = np.concatenate([wavs, np.repeat(wavs[:1], Bp - B, 0)])
+        mu = np.asarray(_fe_jit(jnp.asarray(wavs)))
+        out = []
+        for i, (_, n) in enumerate(items):
+            n_mel = n // 256 + 1
+            n_lat = -(-n_mel // vae_cfg.total_stride)
+            out.append(mu[i, :n_lat])
+        return out
 
     def single_chunk(text):
         return len(inf.split_chunks(text)) == 1
@@ -164,8 +203,12 @@ def build_engine(args):
     def run_group(group_key, items):
         """Batcher device call. group_key routes the task:
         ("tts", steps, cfg_scale) with items [(text, key)] -> one batched
-        synthesize + one batched render; ("asr", steps) with items
-        [(latents, key)] -> one batched flow decode."""
+        synthesize + one batched render; ("fe", wav_bucket) with items
+        [(wav_padded, n_samples)] -> one batched mel+VAE encode;
+        ("asr", steps) with items [(latents, key)] -> one batched flow
+        decode."""
+        if group_key[0] == "fe":
+            return asr_frontend_batch(items)
         if group_key[0] == "asr":
             _, steps = group_key
             return inf.asr_batch(
@@ -185,7 +228,7 @@ def build_engine(args):
         wavs = render.batch(latents, n_frames)
         return [np.clip(w, -1, 1) for w in wavs]
 
-    return tts, tts_stream, asr_encode, next_key, single_chunk, run_group, cfg
+    return tts, tts_stream, prep_asr, next_key, single_chunk, run_group, cfg
 
 
 def streaming_wav_header(sr=16000):
@@ -244,7 +287,7 @@ def main(argv=None):
                         "encode over this many devices (dp*tp <= devices)")
     args = p.parse_args(argv)
 
-    (tts, tts_stream, asr_encode, next_key, single_chunk, run_group,
+    (tts, tts_stream, prep_asr, next_key, single_chunk, run_group,
      cfg) = build_engine(args)
     e = cfg.evaluation
     # threaded server so /health and slow clients don't block each other;
@@ -400,11 +443,12 @@ def main(argv=None):
             # contract as the /tts "seed" field)
             q = parse_qs(urlsplit(self.path).query)
             seed = q.get("seed", [None])[0]
-            # frontend (wav -> VAE latents) is one small device
-            # call; the expensive flow decode coalesces with
-            # concurrent /asr requests into one batched program
-            with device_lock:
-                lat = asr_encode(x)
+            # BOTH stages coalesce with concurrent /asr requests:
+            # the wav->VAE frontend batches per wav bucket, the flow
+            # decode batches per steps group (each its own batched
+            # static-shape program)
+            bucket, padded, n = prep_asr(x)
+            lat = batcher.submit(("fe", bucket), (padded, n)).result()
             text = batcher.submit(("asr", e.asr_steps),
                                   (lat, next_key(seed))).result()
             stats.record_request("asr", time.monotonic() - t0)
