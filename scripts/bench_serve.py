@@ -144,7 +144,9 @@ def main(argv=None):
     p.add_argument("--components", default=None)
     p.add_argument("--byte-tokenizer", action="store_true")
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--clients", default="8",
+                   help="concurrent clients; a comma list (e.g. 1,4,8,16) "
+                        "sweeps counts against ONE warm server")
     p.add_argument("--requests", type=int, default=3,
                    help="timed requests per client")
     p.add_argument("--rounds", type=int, default=3,
@@ -164,6 +166,7 @@ def main(argv=None):
                    help="first flagship compile through a remote tunnel "
                    "can take 10-15 min/program")
     args = p.parse_args(argv)
+    args.clients = [int(c) for c in str(args.clients).split(",")]
 
     proc = None
     base = args.base
@@ -184,14 +187,15 @@ def main(argv=None):
 
     try:
         # ---- warmup: compile every program the timed phase can hit.
-        # tts_batch pads to the next power of two, so straggler batches of
-        # 2/4/... each need their own compiled program; a first-compile
-        # mid-phase (minutes through a remote tunnel) would wreck the
-        # numbers. Volley each power-of-two concurrency up to the client
-        # count.
+        # tts_batch / asr_batch / the serving frontend / render.batch all
+        # pad rows to the next power of two, so volleying each
+        # power-of-two concurrency up to the max client count compiles
+        # the whole bounded program matrix; a first-compile mid-phase
+        # (minutes through a remote tunnel) would wreck the numbers.
+        max_clients = max(args.clients)
         sizes = [1]
-        while sizes[-1] < args.clients:
-            sizes.append(min(sizes[-1] * 2, args.clients))
+        while sizes[-1] < max_clients:
+            sizes.append(min(sizes[-1] * 2, max_clients))
         for size in sizes:
             t0 = time.monotonic()
             errs = []
@@ -213,16 +217,16 @@ def main(argv=None):
                   "seconds": round(time.monotonic() - t0, 1),
                   "errors": errs})
 
-        # ---- timed phase: clients * requests, all concurrent. Run
-        # `--rounds` identical rounds (same seeds -> same predicted
-        # lengths -> same bucket grids) and report the BEST round: which
-        # (batch-size, grid) programs exist depends on how stragglers
-        # coalesced, so an early round can still pay a first-compile
-        # (minutes through a remote tunnel); steady state is the
-        # serving number, consistent with bench.py's min-of-N.
-        def timed_round():
+        # ---- timed phases: per client count, clients * requests all
+        # concurrent. Run `--rounds` identical rounds (same seeds -> same
+        # predicted lengths -> same bucket grids) and report the BEST
+        # round: which (batch-size, grid) programs exist depends on how
+        # stragglers coalesced, so an early round can still pay a
+        # first-compile; steady state is the serving number, consistent
+        # with bench.py's min-of-N.
+        def timed_round(n_clients):
             lat, audio, lock = [], [], threading.Lock()
-            barrier = threading.Barrier(args.clients)
+            barrier = threading.Barrier(n_clients)
 
             def client(cid):
                 barrier.wait()
@@ -233,7 +237,7 @@ def main(argv=None):
                         audio.append(a_s)
 
             ths = [threading.Thread(target=client, args=(c,))
-                   for c in range(args.clients)]
+                   for c in range(n_clients)]
             t0 = time.monotonic()
             for th in ths:
                 th.start()
@@ -241,36 +245,51 @@ def main(argv=None):
                 th.join()
             return time.monotonic() - t0, lat, audio
 
-        best = None
-        for rnd in range(args.rounds):
-            wall, lat, audio = timed_round()
-            log2({"label": f"round{rnd}",
-                  "wall_s": round(wall, 3),
-                  "rtf_aggregate": round(sum(audio) / wall, 1)})
-            if best is None or wall < best[0]:
-                best = (wall, lat, audio)
-        wall, lat, audio = best
+        def get_stats():
+            with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+                return json.load(r)
 
-        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
-            stats = json.load(r)
-        log2({"label": "server_stats", **stats})
+        def task_hist(stats):
+            return stats["batches"].get(args.task, {}).get("sizes", {})
 
-        s = sorted(lat)
-        tb = stats["batches"].get(args.task, {})
-        out = {
-            "metric": f"serving_{args.task}_throughput",
-            "clients": args.clients,
-            "requests": len(lat),
-            "wall_s": round(wall, 3),
-            "req_per_s": round(len(lat) / wall, 2),
-            "rtf_aggregate": round(sum(audio) / wall, 1),
-            "audio_s_per_req": round(sum(audio) / len(audio), 2),
-            "latency_p50_s": round(percentile(s, 0.5), 3),
-            "latency_p95_s": round(percentile(s, 0.95), 3),
-            "latency_p99_s": round(percentile(s, 0.99), 3),
-            "mean_batch": round(tb.get("mean_batch", 0.0), 2),
-        }
-        print(json.dumps(out), flush=True)
+        for n_clients in args.clients:
+            pre_hist = task_hist(get_stats())
+            best = None
+            for rnd in range(args.rounds):
+                wall, lat, audio = timed_round(n_clients)
+                log2({"label": f"clients{n_clients}_round{rnd}",
+                      "wall_s": round(wall, 3),
+                      "rtf_aggregate": round(sum(audio) / wall, 1)})
+                if best is None or wall < best[0]:
+                    best = (wall, lat, audio)
+            wall, lat, audio = best
+
+            stats = get_stats()
+            log2({"label": "server_stats", **stats})
+            # /stats is cumulative -> diff the batch-size histogram so
+            # mean_batch reflects THIS sweep point only
+            delta = {k: v - pre_hist.get(k, 0)
+                     for k, v in task_hist(stats).items()
+                     if v - pre_hist.get(k, 0) > 0}
+            calls = sum(delta.values())
+            items = sum(int(k) * v for k, v in delta.items())
+            tb = {"mean_batch": items / calls if calls else 0.0}
+
+            s = sorted(lat)
+            out = {
+                "metric": f"serving_{args.task}_throughput",
+                "clients": n_clients,
+                "requests": len(lat),
+                "wall_s": round(wall, 3),
+                "req_per_s": round(len(lat) / wall, 2),
+                "rtf_aggregate": round(sum(audio) / wall, 1),
+                "audio_s_per_req": round(sum(audio) / len(audio), 2),
+                "latency_p50_s": round(percentile(s, 0.5), 3),
+                "latency_p95_s": round(percentile(s, 0.95), 3),
+                "latency_p99_s": round(percentile(s, 0.99), 3),
+                "mean_batch": round(tb.get("mean_batch", 0.0), 2),
+            }
+            print(json.dumps(out), flush=True)
     finally:
         if proc is not None:
             proc.terminate()
