@@ -131,14 +131,23 @@ class ConvTranspose1d(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch.nn.GroupNorm equivalent (normalizes over spatial dims + group)."""
+    """torch.nn.GroupNorm equivalent (normalizes over spatial dims + group).
+
+    Optional `mask` [B, T, 1] restricts the mean/var statistics to valid
+    time positions, so a padded batch row normalizes exactly like the
+    unpadded tensor would (used by the serving ASR frontend's bucketed
+    batched VAE encode)."""
 
     num_groups: int
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, name="gn")(x)
+    def __call__(self, x, mask=None):
+        if mask is not None:
+            mask = jnp.broadcast_to(mask.astype(bool), x.shape)
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, name="gn"
+        )(x, mask=mask)
 
 
 class LayerNorm(nn.Module):

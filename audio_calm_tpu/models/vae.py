@@ -32,37 +32,65 @@ from audio_calm_tpu.ops.ssim import ssim_loss
 
 
 class ResBlock(nn.Module):
-    """x + [GN -> GELU -> Conv(k3 p1)] x2  (reference modeling_vae.py:125-142)."""
+    """x + [GN -> GELU -> Conv(k3 p1)] x2  (reference modeling_vae.py:125-142).
+
+    Optional `mask` [B, T, 1] makes a padded row compute exactly what the
+    unpadded tensor would: GroupNorm statistics restrict to valid frames
+    and activations re-zero before each conv so boundary taps see the same
+    zero padding an exact-length buffer's 'SAME' conv would."""
 
     channels: int
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x):
-        h = GroupNorm(self.num_groups, name="norm1")(x)
+    def __call__(self, x, mask=None):
+        h = GroupNorm(self.num_groups, name="norm1")(x, mask)
         h = gelu(h)
+        if mask is not None:
+            h = h * mask
         h = Conv1d(self.channels, 3, padding=1, name="conv1")(h)
-        h = GroupNorm(self.num_groups, name="norm2")(h)
+        h = GroupNorm(self.num_groups, name="norm2")(h, mask)
         h = gelu(h)
+        if mask is not None:
+            h = h * mask
         h = Conv1d(self.channels, 3, padding=1, name="conv2")(h)
-        return x + h
+        out = x + h
+        if mask is not None:
+            out = out * mask
+        return out
 
 
 class Encoder(nn.Module):
     cfg: VAEModelConfig
 
     @nn.compact
-    def __call__(self, x):  # [B, T, mel]
+    def __call__(self, x, mask=None):  # [B, T, mel], mask [B, T, 1]
+        # `mask` marks valid frames (per-row length MUST be a multiple of
+        # total_stride, i.e. the exact-length buffer after pad_to_stride);
+        # a masked padded row then produces the same latents as encoding
+        # the exact-length tensor solo — see tests/test_vae.py.
         c = self.cfg
+        if mask is not None:
+            mask = mask.astype(x.dtype)
+            x = x * mask
         x = Conv1d(c.hidden_channels, 3, padding=1, name="conv_in")(x)
+        if mask is not None:
+            x = x * mask
         for i, s in enumerate(c.strides):
             x = Conv1d(
                 c.hidden_channels, 2 * s, stride=s, padding=s // 2,
                 name=f"down{i}_conv",
             )(x)
-            x = ResBlock(c.hidden_channels, c.norm_num_groups, name=f"down{i}_res")(x)
-        x = GroupNorm(c.norm_num_groups, name="norm_out")(x)
+            if mask is not None:
+                mask = mask[:, ::s]
+                x = x * mask
+            x = ResBlock(
+                c.hidden_channels, c.norm_num_groups, name=f"down{i}_res"
+            )(x, mask)
+        x = GroupNorm(c.norm_num_groups, name="norm_out")(x, mask)
         x = gelu(x)
+        if mask is not None:
+            x = x * mask
         x = Conv1d(2 * c.latent_channels, 3, padding=1, name="conv_out")(x)
         mu, logvar = jnp.split(x, 2, axis=-1)
         return mu, logvar
@@ -119,8 +147,10 @@ class AcousticVAE(nn.Module):
         self.encoder = Encoder(self.cfg)
         self.decoder = Decoder(self.cfg)
 
-    def encode(self, mel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.encoder(mel)
+    def encode(
+        self, mel: jnp.ndarray, mask: jnp.ndarray = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.encoder(mel, mask)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(z)

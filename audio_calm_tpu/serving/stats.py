@@ -60,6 +60,13 @@ class ServingStats:
                 self._requests[kind] += 1
                 self._req_lat[kind].append(seconds)
 
+    def record_latency(self, kind: str, seconds: float) -> None:
+        """Latency-only observation (e.g. time-to-first-audio of a stream):
+        feeds request_latency_s percentiles WITHOUT counting a request, so
+        synthetic kinds never inflate the route counters."""
+        with self._lock:
+            self._req_lat[kind].append(seconds)
+
     def record_group(self, kind: str, batch_size: int,
                      seconds: float) -> None:
         with self._lock:

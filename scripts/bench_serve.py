@@ -253,24 +253,24 @@ def main(argv=None):
             return stats["batches"].get(args.task, {}).get("sizes", {})
 
         for n_clients in args.clients:
-            pre_hist = task_hist(get_stats())
             best = None
             for rnd in range(args.rounds):
+                # /stats is cumulative -> per-ROUND histogram delta, so
+                # the reported mean_batch describes the same round the
+                # latency/rtf numbers come from (not warm-up rounds)
+                pre_hist = task_hist(get_stats())
                 wall, lat, audio = timed_round(n_clients)
+                delta = {k: v - pre_hist.get(k, 0)
+                         for k, v in task_hist(get_stats()).items()
+                         if v - pre_hist.get(k, 0) > 0}
                 log2({"label": f"clients{n_clients}_round{rnd}",
                       "wall_s": round(wall, 3),
                       "rtf_aggregate": round(sum(audio) / wall, 1)})
                 if best is None or wall < best[0]:
-                    best = (wall, lat, audio)
-            wall, lat, audio = best
+                    best = (wall, lat, audio, delta)
+            wall, lat, audio, delta = best
 
-            stats = get_stats()
-            log2({"label": "server_stats", **stats})
-            # /stats is cumulative -> diff the batch-size histogram so
-            # mean_batch reflects THIS sweep point only
-            delta = {k: v - pre_hist.get(k, 0)
-                     for k, v in task_hist(stats).items()
-                     if v - pre_hist.get(k, 0) > 0}
+            log2({"label": "server_stats", **get_stats()})
             calls = sum(delta.values())
             items = sum(int(k) * v for k, v in delta.items())
             tb = {"mean_batch": items / calls if calls else 0.0}

@@ -47,9 +47,8 @@ def build_engine(args):
     from audio_calm_tpu.config import CALMConfig, MelConfig, VAEModelConfig, load_config
     from audio_calm_tpu.eval.infer import CALMInference
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
-    from audio_calm_tpu.models.vae import AcousticVAE, pad_to_stride
+    from audio_calm_tpu.models.vae import AcousticVAE
     from audio_calm_tpu.models.vocoder import load_vocoder
-    from audio_calm_tpu.ops.mel import MelFrontend
     from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
     from audio_calm_tpu.utils.cache import enable_compilation_cache
 
@@ -117,7 +116,7 @@ def build_engine(args):
     from audio_calm_tpu.eval.render import make_renderer
 
     render = make_renderer(vae, vae_params, vae_cfg, vocoder)
-    frontend = MelFrontend(MelConfig())
+    mel_cfg = MelConfig()
     rng_state = [jax.random.PRNGKey(cfg.evaluation.seed)]
     rng_lock = threading.Lock()
 
@@ -151,51 +150,18 @@ def build_engine(args):
             yield np.clip(piece, -1, 1)
 
     # ASR frontend buckets: wav lengths quantize to the latent-grid
-    # buckets (1024 samples per latent frame), so concurrent /asr
-    # frontends coalesce into ONE batched (padded-B, bucket) program
-    # instead of a solo device round-trip per request. Measured without
-    # this (BASELINE.md "HTTP serving load"): the per-request frontend
-    # serialized under the device lock capped /asr at mean batch 2.8 and
-    # p50 2.9 s under 8-client load.
+    # buckets so concurrent /asr frontends coalesce into ONE batched
+    # (padded-B, bucket) program instead of a solo device round-trip per
+    # request; reflect-tail padding + masked VAE encode keep each row's
+    # latents equal to a solo exact-length encode (serving/frontend.py).
+    # Measured without batching (BASELINE.md "HTTP serving load"): the
+    # per-request frontend serialized under the device lock capped /asr
+    # at mean batch 2.8 and p50 2.9 s under 8-client load.
+    from audio_calm_tpu.serving.frontend import make_asr_frontend
+
     lat_buckets = cfg.evaluation.audio_buckets or [m.max_audio_len]
-    wav_buckets = [int(b) * 4 * 256 for b in lat_buckets]
-
-    def prep_asr(wav_f32):
-        """Host-side: clamp to the largest grid, pick the smallest wav
-        bucket that fits, zero-pad. -> (bucket, padded [bucket], n)."""
-        n = min(len(wav_f32), wav_buckets[-1])
-        bucket = next(b for b in wav_buckets if n <= b)
-        padded = np.zeros(bucket, np.float32)
-        padded[:n] = np.asarray(wav_f32[:n], np.float32)
-        return bucket, padded, n
-
-    @jax.jit
-    def _fe_jit(wavs):
-        # per-row peak normalization (process_audio_chunk semantics; zero
-        # padding never changes a row's peak), mel, VAE encode
-        p = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
-        w = jnp.where(p > 0, wavs / (p + 1e-8) * 0.95, wavs)
-        mel = pad_to_stride(frontend(w), vae_cfg.total_stride)
-        mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
-        return mu
-
-    def asr_frontend_batch(items):
-        """Batched wav -> VAE latents. items: [(wav_padded, n_samples)]
-        sharing one wav bucket; rows pad to the next power of two
-        (bounded compile matrix; rows are independent, so padding and
-        batch composition cannot change an item's latents)."""
-        wavs = np.stack([w for w, _ in items])
-        B = wavs.shape[0]
-        Bp = 1 << (B - 1).bit_length()
-        if Bp > B:
-            wavs = np.concatenate([wavs, np.repeat(wavs[:1], Bp - B, 0)])
-        mu = np.asarray(_fe_jit(jnp.asarray(wavs)))
-        out = []
-        for i, (_, n) in enumerate(items):
-            n_mel = n // 256 + 1
-            n_lat = -(-n_mel // vae_cfg.total_stride)
-            out.append(mu[i, :n_lat])
-        return out
+    prep_asr, asr_frontend_batch = make_asr_frontend(
+        vae, vae_params, vae_cfg, mel_cfg, lat_buckets)
 
     def single_chunk(text):
         return len(inf.split_chunks(text)) == 1
@@ -313,6 +279,29 @@ def main(argv=None):
                              max_batch=max(1, args.max_batch),
                              window_ms=args.batch_window_ms)
 
+    # /tts steps+cfg_scale are jit compile keys (static args of the ODE
+    # program): quantize client values to a fixed ladder and cap the number
+    # of distinct pairs, so a parameter sweep can't force an unbounded
+    # series of multi-minute XLA compiles under the device lock (each novel
+    # pair can also spawn {1,2,4,8}-row batch variants). Effective values
+    # go back in X-ODE-Steps / X-CFG-Scale response headers.
+    ODE_STEPS = (2, 4, 8, 12, 16, 25, 32, 50)
+    MAX_ODE_KEYS = 8
+    ode_keys_seen = set()
+    ode_keys_lock = threading.Lock()
+
+    def clamp_ode(steps, scale):
+        steps = min(ODE_STEPS, key=lambda s: abs(s - int(steps)))
+        scale = max(0.0, min(4.0, round(float(scale) * 4) / 4))
+        if (steps, scale) == (e.steps, e.cfg_scale):
+            return steps, scale
+        with ode_keys_lock:
+            if ((steps, scale) not in ode_keys_seen
+                    and len(ode_keys_seen) >= MAX_ODE_KEYS):
+                return e.steps, e.cfg_scale
+            ode_keys_seen.add((steps, scale))
+        return steps, scale
+
     class Handler(BaseHTTPRequestHandler):
         # chunked Transfer-Encoding (streaming /tts) requires HTTP/1.1;
         # every non-streamed response sets Content-Length so keep-alive
@@ -359,9 +348,16 @@ def main(argv=None):
             text = req.get("text", "")
             if not text:
                 return self._json(400, {"error": "missing 'text'"})
-            steps = int(req.get("steps", e.steps))
-            scale = float(req.get("cfg_scale", e.cfg_scale))
-            seed = req.get("seed")
+            try:
+                steps = int(req.get("steps", e.steps))
+                scale = float(req.get("cfg_scale", e.cfg_scale))
+                seed = req.get("seed")
+                if seed is not None:
+                    seed = int(seed)
+            except (TypeError, ValueError):
+                return self._json(
+                    400, {"error": "steps/cfg_scale/seed must be numeric"})
+            steps, scale = clamp_ode(steps, scale)
             key = next_key(seed)
             t0 = time.monotonic()
             if req.get("stream"):
@@ -373,6 +369,8 @@ def main(argv=None):
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-ODE-Steps", str(steps))
+                self.send_header("X-CFG-Scale", str(scale))
                 self.end_headers()
 
                 def emit(chunk: bytes):
@@ -396,8 +394,9 @@ def main(argv=None):
                         if piece is None:
                             break
                         if first:
-                            # TTFA: the latency clients actually feel
-                            stats.record_request(
+                            # TTFA: the latency clients actually feel —
+                            # latency-only so it never counts as a request
+                            stats.record_latency(
                                 "tts_stream_first_chunk",
                                 time.monotonic() - t0)
                             first = False
@@ -426,12 +425,16 @@ def main(argv=None):
                 with device_lock:
                     wav = tts(text, key, steps, scale)
             data = wav_bytes(wav)
-            stats.record_request("tts", time.monotonic() - t0)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(data)))
+            self.send_header("X-ODE-Steps", str(steps))
+            self.send_header("X-CFG-Scale", str(scale))
             self.end_headers()
             self.wfile.write(data)
+            # recorded only after the body went out: a mid-write client
+            # disconnect lands in the error path alone, never both
+            stats.record_request("tts", time.monotonic() - t0)
 
         def _post_asr(self, body):
             t0 = time.monotonic()
@@ -443,6 +446,11 @@ def main(argv=None):
             # contract as the /tts "seed" field)
             q = parse_qs(urlsplit(self.path).query)
             seed = q.get("seed", [None])[0]
+            if seed is not None:
+                try:
+                    seed = int(seed)
+                except ValueError:
+                    return self._json(400, {"error": "seed must be an int"})
             # BOTH stages coalesce with concurrent /asr requests:
             # the wav->VAE frontend batches per wav bucket, the flow
             # decode batches per steps group (each its own batched
@@ -451,8 +459,9 @@ def main(argv=None):
             lat = batcher.submit(("fe", bucket), (padded, n)).result()
             text = batcher.submit(("asr", e.asr_steps),
                                   (lat, next_key(seed))).result()
+            self._json(200, {"text": text})
+            # after the write: a disconnect counts as error OR success
             stats.record_request("asr", time.monotonic() - t0)
-            return self._json(200, {"text": text})
 
     # --port 0 binds an ephemeral port; the "serving on :<port>" line is the
     # contract test harnesses parse to find it

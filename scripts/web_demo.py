@@ -93,6 +93,8 @@ def main(argv=None):
         rng_holder[0], k = jax.random.split(rng_holder[0])
         wav = inf.tts_long(text, k, render, steps=int(steps),
                            cfg_scale=float(cfg_scale),
+                           method=cfg.evaluation.ode_method,
+                           time_schedule=cfg.evaluation.time_schedule,
                            crossfade_ms=cfg.evaluation.crossfade_ms)
         return 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
 
@@ -103,20 +105,25 @@ def main(argv=None):
         mel = pad_to_stride(frontend(wav[None]), vae_cfg.total_stride)
         mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
         rng_holder[0], k = jax.random.split(rng_holder[0])
-        return inf.asr(np.asarray(mu[0]), k, steps=int(steps))
+        return inf.asr(np.asarray(mu[0]), k, steps=int(steps),
+                       method=cfg.evaluation.ode_method,
+                       time_schedule=cfg.evaluation.time_schedule)
 
     with gr.Blocks(title="Audio-CALM TPU") as demo:
         gr.Markdown("# Audio-CALM (TPU) — NAR flow-matching TTS / ASR")
         with gr.Tab("TTS"):
             t_in = gr.Textbox(label="Text")
-            t_steps = gr.Slider(4, 100, value=50, step=1, label="ODE steps")
-            t_cfg = gr.Slider(1.0, 5.0, value=2.5, label="CFG scale")
+            t_steps = gr.Slider(4, 100, value=cfg.evaluation.steps, step=1,
+                                label="ODE steps")
+            t_cfg = gr.Slider(1.0, 5.0, value=cfg.evaluation.cfg_scale,
+                              label="CFG scale")
             t_btn = gr.Button("Synthesize")
             t_out = gr.Audio(label="Audio")
             t_btn.click(tts_fn, [t_in, t_steps, t_cfg], t_out)
         with gr.Tab("ASR"):
             a_in = gr.Audio(label="Audio", sources=["upload", "microphone"])
-            a_steps = gr.Slider(4, 50, value=20, step=1, label="ODE steps")
+            a_steps = gr.Slider(4, 50, value=cfg.evaluation.asr_steps,
+                                step=1, label="ODE steps")
             a_btn = gr.Button("Transcribe")
             a_out = gr.Textbox(label="Transcript")
             a_btn.click(asr_fn, [a_in, a_steps], a_out)

@@ -299,3 +299,86 @@ def test_serving_stats_thread_safety():
     snap = s.snapshot()
     assert sum(snap["requests"].values()) == n_threads * per
     assert snap["batches"]["tts"]["calls"] == n_threads * per
+
+
+# ---------------------------------------------------------------------------
+# Bucketed batched ASR frontend (serving/frontend.py): bucketing must be
+# invisible — the VAE encoder GroupNorm-normalizes over TIME, so naive
+# silence-padding to a bucket would shift every valid latent
+# ---------------------------------------------------------------------------
+def _exact_frontend(vae, vae_params, vae_cfg, mel_cfg, wav):
+    """The pre-batching serve.py path: peak-normalize the exact wav,
+    exact-length mel, pad_to_stride, unmasked encode."""
+    from audio_calm_tpu.models.vae import AcousticVAE, pad_to_stride
+    from audio_calm_tpu.ops.mel import MelFrontend
+
+    w = np.asarray(wav, np.float32)
+    p = np.max(np.abs(w))
+    if p > 0:
+        w = w / (p + 1e-8) * 0.95
+    mel = pad_to_stride(MelFrontend(mel_cfg)(jnp.asarray(w[None])),
+                        vae_cfg.total_stride)
+    mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
+    n_mel = len(w) // mel_cfg.hop_length + 1
+    n_lat = -(-n_mel // vae_cfg.total_stride)
+    return np.asarray(mu[0, :n_lat])
+
+
+def test_asr_frontend_bucketed_matches_exact():
+    """Batched bucketed frontend rows == solo exact-length encodes.
+
+    Covers: short utterance far below its bucket (worst case for the
+    old zero-pad GroupNorm pollution), exact bucket fit, over-max clamp,
+    and mixed lengths in one batch."""
+    from audio_calm_tpu.config import MelConfig, VAEModelConfig
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.serving.frontend import make_asr_frontend
+
+    vae_cfg = VAEModelConfig(hidden_channels=32, latent_channels=8,
+                             norm_num_groups=8)
+    vae = AcousticVAE(vae_cfg)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    mel_cfg = MelConfig()
+    lat_buckets = [8, 16]
+    spf = vae_cfg.total_stride * mel_cfg.hop_length  # samples per latent
+    prep, batch = make_asr_frontend(vae, vae_params, vae_cfg, mel_cfg,
+                                    lat_buckets)
+
+    rng = np.random.default_rng(7)
+    lens = [2500,               # deep inside the 8-latent bucket
+            8 * spf - 1024,     # near-full first bucket (reflect tail fits)
+            8 * spf - 200,      # reflect tail would truncate -> next bucket
+            8 * spf,            # exact fit also bumps (tail needs room)
+            12000,              # second bucket
+            20 * spf]           # over the max grid -> clamped to 16*spf
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.3 for n in lens]
+
+    prepped = [prep(w) for w in wavs]
+    by_bucket = {}
+    for (bucket, padded, n), w in zip(prepped, wavs):
+        by_bucket.setdefault(bucket, []).append(((padded, n), w))
+    assert sorted(by_bucket) == [8 * spf, 16 * spf]
+
+    for bucket, pairs in by_bucket.items():
+        out = batch([it for it, _ in pairs])
+        for lat, ((_, n), w) in zip(out, pairs):
+            exact = _exact_frontend(vae, vae_params, vae_cfg, mel_cfg,
+                                    w[:n])
+            assert lat.shape == exact.shape
+            np.testing.assert_allclose(lat, exact, rtol=2e-4, atol=2e-5)
+
+
+def test_serving_stats_record_latency_counts_no_request():
+    """record_latency feeds percentiles only — synthetic kinds (stream
+    TTFA) must never inflate the request counters."""
+    from audio_calm_tpu.serving import ServingStats
+
+    st = ServingStats()
+    st.record_request("tts_stream", 1.0)
+    st.record_latency("tts_stream_first_chunk", 0.25)
+    snap = st.snapshot()
+    assert snap["requests"] == {"tts_stream": 1}
+    assert snap["request_latency_s"]["tts_stream_first_chunk"]["count"] == 1

@@ -92,3 +92,35 @@ def test_multires_stft_loss_zero_for_identical_and_positive_otherwise():
     # short sequences: specs with n_fft > T are dropped (reference behavior)
     xs = x[:, :100]
     assert np.isfinite(float(multires_stft_loss(xs, xs + 0.1)))
+
+
+def test_masked_encode_matches_exact_length():
+    """Encoder(mask=...) makes a padded row produce the same latents as the
+    exact-length encode: GroupNorm stats restrict to valid frames and
+    activations re-zero before each conv (the batched serving frontend's
+    contract). Valid lengths must be multiples of total_stride."""
+    cfg = VAEModelConfig(hidden_channels=64, latent_channels=8,
+                         norm_num_groups=8)
+    vae = AcousticVAE(cfg)
+    params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    stride = cfg.total_stride
+    rng = np.random.default_rng(0)
+    T_pad = 48
+    for T in (48, 44, 24, 8):
+        assert T % stride == 0
+        mel = rng.standard_normal((1, T, 80)).astype(np.float32)
+        mu_x, lv_x = vae.apply(params, jnp.asarray(mel),
+                               method=AcousticVAE.encode)
+        buf = np.zeros((1, T_pad, 80), np.float32)
+        buf[:, :T] = mel
+        mask = (np.arange(T_pad) < T)[None, :, None]
+        mu_m, lv_m = vae.apply(params, jnp.asarray(buf), jnp.asarray(mask),
+                               method=AcousticVAE.encode)
+        n_lat = T // stride
+        np.testing.assert_allclose(np.asarray(mu_m)[:, :n_lat],
+                                   np.asarray(mu_x), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lv_m)[:, :n_lat],
+                                   np.asarray(lv_x), rtol=1e-4, atol=1e-5)
