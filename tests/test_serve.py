@@ -313,3 +313,35 @@ def test_stats_endpoint(server):
     items = sum(int(k) * v for k, v in asr_batches["sizes"].items())
     assert items == s["requests"]["asr"]
     assert asr_batches["mean_batch"] >= 1.0
+
+
+def test_tts_ode_params_quantize_to_ladder(server):
+    """Client steps/cfg_scale are XLA compile keys: novel values quantize
+    to the fixed ladder (steps=3 -> 2 or 4; scale rounds to 0.25) and the
+    effective values come back in X-ODE-Steps / X-CFG-Scale headers, so a
+    parameter sweep can't force unbounded multi-minute compiles."""
+    req = urllib.request.Request(
+        server + "/tts",
+        data=json.dumps({"text": "hi", "steps": 3,
+                         "cfg_scale": 1.49, "seed": 5}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["X-ODE-Steps"] in ("2", "4")
+        assert r.headers["X-CFG-Scale"] == "1.5"
+        r.read()
+
+
+def test_tts_rejects_non_numeric_params(server):
+    """Bad client input is a 400, not a 500 + error tick in /stats."""
+    for payload in ({"text": "hi", "seed": "abc"},
+                    {"text": "hi", "steps": "lots"}):
+        req = urllib.request.Request(
+            server + "/tts", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as ex:
+            assert ex.code == 400
