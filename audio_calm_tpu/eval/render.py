@@ -34,25 +34,41 @@ def make_renderer(
     (decode fused, GL's own jitted program chained).
     """
     hifi = isinstance(vocoder, HiFiGANVocoder)
+    up = vae_cfg.total_stride  # VAE time upsample: latent frame -> mel frames
 
     @jax.jit
-    def decode(latents):  # [1, T_grid, D] -> mel [1, 4*T_grid, 80]
-        mel_n = vae.apply(vae_params, latents, method=AcousticVAE.decode)
-        return denormalize_mel(mel_n, vae_cfg)
+    def decode(latents, ns):  # [B, T_grid, D], [B] -> mel [B, up*T_grid, 80]
+        # masked decode: the decoder GroupNorms normalize over time, so
+        # unmasked grid padding (ODE noise beyond n_frames) would shift
+        # every valid mel frame — and differently per bucket, breaking
+        # both exact-length semantics and same-seed-same-audio across
+        # grids. Valid frames now equal the exact-length decode; invalid
+        # mel zeroes — exactly what HiFi-GAN's conv padding reads at an
+        # exact-length boundary (for the Griffin-Lim debug vocoder,
+        # log-mel 0 is a nonzero magnitude, so GL keeps a small iterative
+        # tail coupling; HiFi-GAN is the product path).
+        T = latents.shape[1]
+        mask = (jnp.arange(T)[None, :] < ns[:, None])[..., None]
+        mel_n = vae.apply(vae_params, latents, mask.astype(latents.dtype),
+                          method=AcousticVAE.decode)
+        mel = denormalize_mel(mel_n, vae_cfg)
+        mmask = (jnp.arange(up * T)[None, :] < up * ns[:, None])[..., None]
+        return mel * mmask.astype(mel.dtype)
 
     if hifi:
         gen_params = vocoder.params
 
         @jax.jit
-        def pipeline(latents):
-            return vocoder.apply_fn(gen_params, decode(latents))
+        def pipeline(latents, ns):
+            return vocoder.apply_fn(gen_params, decode(latents, ns))
 
     def render(latents: np.ndarray, n_frames: int) -> np.ndarray:
         x = jnp.asarray(np.asarray(latents, np.float32))[None]
+        ns = jnp.asarray([int(n_frames)], jnp.int32)
         if hifi:
-            wav = pipeline(x)
+            wav = pipeline(x, ns)
         else:
-            wav = vocoder(decode(x))
+            wav = vocoder(decode(x, ns))
         n = int(n_frames) * SAMPLES_PER_FRAME
         return np.asarray(wav)[0][:n]
 
@@ -69,12 +85,15 @@ def make_renderer(
         {1,2,4,8} x grid buckets; rows are independent so padding cannot
         change an item's audio."""
         lat = np.asarray(latents, np.float32)
+        ns_arr = np.asarray([int(n) for n in n_frames], np.int32)
         B = lat.shape[0]
         Bp = 1 << (B - 1).bit_length()
         if Bp > B:
             lat = np.concatenate([lat, np.repeat(lat[:1], Bp - B, 0)])
+            ns_arr = np.concatenate([ns_arr, np.repeat(ns_arr[:1], Bp - B)])
         x = jnp.asarray(lat)
-        wav = pipeline(x) if hifi else vocoder(decode(x))
+        ns = jnp.asarray(ns_arr)
+        wav = pipeline(x, ns) if hifi else vocoder(decode(x, ns))
         w = np.asarray(wav)
         return [w[i][: int(n) * SAMPLES_PER_FRAME]
                 for i, n in enumerate(n_frames)]

@@ -100,16 +100,34 @@ class Decoder(nn.Module):
     cfg: VAEModelConfig
 
     @nn.compact
-    def __call__(self, z):  # [B, T', latent]
+    def __call__(self, z, mask=None):  # [B, T', latent], mask [B, T', 1]
+        # `mask` marks valid latent frames: GroupNorm statistics restrict
+        # to them and activations re-zero before each conv, so decoding a
+        # grid-padded row produces the same valid mel frames as decoding
+        # the exact-length latents solo (the decoder GroupNorms normalize
+        # over TIME, so unmasked grid padding — ODE noise or zeros —
+        # audibly shifts the whole utterance; see tests/test_vae.py).
         c = self.cfg
+        if mask is not None:
+            mask = mask.astype(z.dtype)
+            z = z * mask
         x = Conv1d(c.hidden_channels, 3, padding=1, name="conv_in")(z)
-        x = ResBlock(c.hidden_channels, c.norm_num_groups, name="res_in")(x)
+        if mask is not None:
+            x = x * mask
+        x = ResBlock(
+            c.hidden_channels, c.norm_num_groups, name="res_in"
+        )(x, mask)
         for i, s in enumerate(reversed(c.strides)):
             x = ConvTranspose1d(
                 c.hidden_channels, 2 * s, stride=s, padding=s // 2,
                 name=f"up{i}_conv",
             )(x)
-            x = ResBlock(c.hidden_channels, c.norm_num_groups, name=f"up{i}_res")(x)
+            if mask is not None:
+                mask = jnp.repeat(mask, s, axis=1)
+                x = x * mask
+            x = ResBlock(
+                c.hidden_channels, c.norm_num_groups, name=f"up{i}_res"
+            )(x, mask)
         return Conv1d(c.in_channels, 3, padding=1, name="conv_out")(x)
 
 
@@ -152,8 +170,8 @@ class AcousticVAE(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.encoder(mel, mask)
 
-    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(z)
+    def decode(self, z: jnp.ndarray, mask: jnp.ndarray = None) -> jnp.ndarray:
+        return self.decoder(z, mask)
 
     def reparameterize(self, mu, logvar, train: bool):
         if not train:

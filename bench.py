@@ -139,10 +139,17 @@ def main():
                 num_frames_override=num_frames,  # untrained len-pred
                 method=ode_method,
             )
+            # masked decode, like eval/render.py: beyond-num_frames grid
+            # padding must not shift the valid mel (decoder GroupNorm
+            # normalizes over time)
+            dec_mask = (jnp.arange(t_aud)[None, :]
+                        < num_frames)[..., None].astype(jnp.float32)
             mel_n = vae.apply(vae_params, latents.astype(jnp.float32),
-                              method=AcousticVAE.decode)
+                              dec_mask, method=AcousticVAE.decode)
             mel = denormalize_mel(mel_n, vae.cfg)
-            wav = voc_apply(voc_params, mel)
+            mmask = (jnp.arange(mel.shape[1])[None, :]
+                     < vae.cfg.total_stride * num_frames)[..., None]
+            wav = voc_apply(voc_params, mel * mmask.astype(mel.dtype))
             return wav
 
         return pipeline

@@ -382,3 +382,43 @@ def test_serving_stats_record_latency_counts_no_request():
     snap = st.snapshot()
     assert snap["requests"] == {"tts_stream": 1}
     assert snap["request_latency_s"]["tts_stream_first_chunk"]["count"] == 1
+
+
+def test_render_is_grid_and_pad_invariant():
+    """render(latents, n) must give the same audio whatever grid the
+    latents were padded to and whatever the padding contains (ODE noise):
+    the masked VAE decode pins the valid mel to the exact-length decode,
+    so (text, seed) -> audio is bucket-independent. The vocoder boundary
+    effect is confined to its receptive field at the utterance tail."""
+    from audio_calm_tpu.config import VAEModelConfig
+    from audio_calm_tpu.eval.render import SAMPLES_PER_FRAME, make_renderer
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.models.vocoder import (HiFiGANConfig,
+                                               HiFiGANGenerator,
+                                               HiFiGANVocoder)
+
+    vae_cfg = VAEModelConfig(hidden_channels=32, latent_channels=8,
+                             norm_num_groups=8)
+    vae = AcousticVAE(vae_cfg)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    voc_cfg = HiFiGANConfig(upsample_initial_channel=32)
+    gen = HiFiGANGenerator(voc_cfg)
+    gen_params = gen.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 80)))
+    vocoder = HiFiGANVocoder(gen_params["params"]
+                             if "params" in gen_params else gen_params,
+                             cfg=voc_cfg, fused=False)
+    render = make_renderer(vae, vae_params, vae_cfg, vocoder)
+
+    rng = np.random.default_rng(9)
+    n = 10
+    lat = rng.standard_normal((n, 8)).astype(np.float32)
+    wavs = {}
+    for grid in (16, 32):
+        buf = rng.standard_normal((grid, 8)).astype(np.float32)  # noise pad
+        buf[:n] = lat
+        wavs[grid] = render(buf, n)
+    assert wavs[16].shape == wavs[32].shape == (n * SAMPLES_PER_FRAME,)
+    np.testing.assert_allclose(wavs[16], wavs[32], rtol=1e-4, atol=1e-5)

@@ -124,3 +124,30 @@ def test_masked_encode_matches_exact_length():
                                    np.asarray(mu_x), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(lv_m)[:, :n_lat],
                                    np.asarray(lv_x), rtol=1e-4, atol=1e-5)
+
+
+def test_masked_decode_matches_exact_length():
+    """Decoder(mask=...): decoding grid-padded latents (pad = ODE noise)
+    must produce the exact-length decode on the valid frames — the
+    renderer's contract (decoder GroupNorm normalizes over time, so
+    unmasked padding shifts the whole utterance, differently per grid)."""
+    cfg = VAEModelConfig(hidden_channels=64, latent_channels=8,
+                         norm_num_groups=8)
+    vae = AcousticVAE(cfg)
+    params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    rng = np.random.default_rng(1)
+    for n, grid in ((5, 12), (12, 12), (3, 24)):
+        lat = rng.standard_normal((1, n, 8)).astype(np.float32)
+        exact = np.asarray(vae.apply(params, jnp.asarray(lat),
+                                     method=AcousticVAE.decode))
+        buf = rng.standard_normal((1, grid, 8)).astype(np.float32)
+        buf[:, :n] = lat
+        mask = (np.arange(grid) < n)[None, :, None]
+        out = np.asarray(vae.apply(params, jnp.asarray(buf),
+                                   jnp.asarray(mask),
+                                   method=AcousticVAE.decode))
+        np.testing.assert_allclose(out[:, : exact.shape[1]], exact,
+                                   rtol=1e-4, atol=1e-5)

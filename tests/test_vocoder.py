@@ -238,11 +238,18 @@ def test_make_renderer_matches_manual_path():
     assert wav.shape[0] <= n * SAMPLES_PER_FRAME
     assert np.isfinite(wav).all()
 
-    mel = denormalize_mel(
-        vae.apply(params, jnp.asarray(lat)[None], method=AcousticVAE.decode),
+    # the renderer's contract: masked decode == exact-length decode of
+    # lat[:n], invalid mel zeroed (what the vocoder's conv padding reads
+    # at an exact-length boundary) — build that input manually at the
+    # same grid (GL's phase-init field is shape-dependent) and compare
+    mel_exact = denormalize_mel(
+        vae.apply(params, jnp.asarray(lat[:n])[None],
+                  method=AcousticVAE.decode),
         cfg,
     )
-    manual = np.asarray(voc(mel))[0][: n * SAMPLES_PER_FRAME]
+    mel_pad = np.zeros((1, 4 * lat.shape[0], 80), np.float32)
+    mel_pad[:, : 4 * n] = np.asarray(mel_exact)
+    manual = np.asarray(voc(jnp.asarray(mel_pad)))[0][: n * SAMPLES_PER_FRAME]
     np.testing.assert_allclose(wav, manual[: len(wav)], atol=1e-5)
 
 
