@@ -329,8 +329,17 @@ def main(argv=None):
                 return self._json(200, stats.snapshot())
             return self._json(404, {"error": "unknown path"})
 
+        # production guards: a Content-Length beyond any legitimate request
+        # (the max /asr wav is ~25 s of PCM16; /tts bodies are small JSON)
+        # is refused before the body buffers in memory, and /tts text is
+        # capped so one request can't monopolize the device for minutes
+        MAX_BODY_BYTES = 64 * 1024 * 1024
+        MAX_TTS_CHARS = 20_000
+
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.MAX_BODY_BYTES:
+                return self._json(413, {"error": "body too large"})
             body = self.rfile.read(n)
             route = self.path.split("?", 1)[0]
             try:
@@ -348,6 +357,9 @@ def main(argv=None):
             text = req.get("text", "")
             if not text:
                 return self._json(400, {"error": "missing 'text'"})
+            if len(text) > self.MAX_TTS_CHARS:
+                return self._json(
+                    400, {"error": f"text exceeds {self.MAX_TTS_CHARS} chars"})
             try:
                 steps = int(req.get("steps", e.steps))
                 scale = float(req.get("cfg_scale", e.cfg_scale))

@@ -345,3 +345,32 @@ def test_tts_rejects_non_numeric_params(server):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as ex:
             assert ex.code == 400
+
+
+def test_request_guards(server):
+    """Oversized bodies are refused before buffering (413); oversized
+    text is a 400 — one request can't monopolize the device or memory."""
+    req = urllib.request.Request(
+        server + "/tts", data=b"{}",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(100 * 1024 * 1024)},
+    )
+    # urllib sends our forged Content-Length; the server must refuse
+    # based on the header alone. It may also just drop the connection
+    # while we fail to stream the promised bytes — both are acceptable.
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected rejection"
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 413
+    except (urllib.error.URLError, ConnectionError, TimeoutError):
+        pass
+
+    big = json.dumps({"text": "a" * 30_000}).encode()
+    req = urllib.request.Request(server + "/tts", data=big,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
