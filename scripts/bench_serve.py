@@ -108,6 +108,37 @@ def post_tts(base, text, seed, steps=None, timeout=1800):
     return dt, audio_s
 
 
+def post_tts_stream(base, text, seed, steps=None, timeout=1800):
+    """POST stream:true and read the chunked WAV as it arrives.
+    -> (ttfa_s, total_s, audio_s): TTFA = first PCM byte after the 44-byte
+    streaming header (the latency a listening client actually feels)."""
+    import http.client
+    from urllib.parse import urlsplit
+
+    u = urlsplit(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=timeout)
+    body = {"text": text, "seed": seed, "stream": True}
+    if steps is not None:
+        body["steps"] = steps
+    t0 = time.monotonic()
+    conn.request("POST", "/tts", json.dumps(body),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    ttfa = None
+    n_bytes = 0
+    while True:
+        piece = r.read1(65536)  # read1: return what's arrived, don't block
+        if not piece:           # for a full buffer (read() would hide TTFA)
+            break
+        n_bytes += len(piece)
+        if ttfa is None and n_bytes > 44:
+            ttfa = time.monotonic() - t0
+    total = time.monotonic() - t0
+    conn.close()
+    audio_s = max(0, n_bytes - 44) / 2 / 16000
+    return ttfa, total, audio_s
+
+
 def make_asr_wav(seconds=10.0, sr=16000):
     """Deterministic sine+noise test utterance as WAV bytes."""
     import numpy as np
@@ -151,7 +182,10 @@ def main(argv=None):
                    help="timed requests per client")
     p.add_argument("--rounds", type=int, default=3,
                    help="identical timed rounds; best (min-wall) reported")
-    p.add_argument("--task", choices=("tts", "asr"), default="tts")
+    p.add_argument("--task", choices=("tts", "asr", "stream"), default="tts",
+                   help="stream: chunked /tts; latency percentiles are "
+                        "time-to-first-audio, text defaults to a long "
+                        "multi-chunk passage")
     p.add_argument("--audio-seconds", type=float, default=10.0,
                    help="--task asr: uploaded utterance length")
     p.add_argument("--max-batch", type=int, default=8)
@@ -181,6 +215,16 @@ def main(argv=None):
 
         def do_req(seed):
             return post_asr(base, wav_data, wav_s, seed)
+    elif args.task == "stream":
+        stream_text = (args.text + " ") * 6  # force multi-chunk synthesis
+
+        def do_req(seed):
+            ttfa, _total, audio_s = post_tts_stream(
+                base, stream_text, seed, steps=args.steps)
+            # "latency" for a stream is TTFA — what a listener feels; the
+            # round wall still spans full streams, so rtf_aggregate stays
+            # an end-to-end throughput number
+            return ttfa, audio_s
     else:
         def do_req(seed):
             return post_tts(base, args.text, seed, steps=args.steps)
@@ -289,6 +333,8 @@ def main(argv=None):
                 "latency_p99_s": round(percentile(s, 0.99), 3),
                 "mean_batch": round(tb.get("mean_batch", 0.0), 2),
             }
+            if args.task == "stream":
+                out["latency_is_ttfa"] = True
             print(json.dumps(out), flush=True)
     finally:
         if proc is not None:
