@@ -54,6 +54,42 @@ def tts_encode(
     return cond_vec, text_ctx, text_pad, num_frames_f.astype(jnp.int32)
 
 
+def tts_condition(
+    model: QwenCALM,
+    params,
+    cond_vec: jnp.ndarray,  # [B, 1, D]
+    text_ctx: jnp.ndarray,  # [B, T_txt, D]
+    text_pad: jnp.ndarray,  # [B, T_txt] True = PAD
+    num_frames: jnp.ndarray,  # [B] int32
+    t_aud: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Durations -> alignment -> per-frame DiT condition on a static
+    [B, t_aud] grid (reference eval_calm.py:466-504). Shared by inference
+    (tts_decode) and few-step distillation (train/distill.py — the student
+    must be supervised under the exact conditioning it will be served with).
+
+    -> (condition [B, t_aud, D], frame_valid [B, t_aud] bool,
+        num_frames clipped to t_aud)."""
+    num_frames = jnp.minimum(num_frames, t_aud)
+    dur_scaled = model.apply(
+        params, text_ctx, text_pad, num_frames, method=QwenCALM.predict_durations
+    )
+    valid = ~text_pad
+    dur_int = jnp.floor(dur_scaled).astype(jnp.int32)
+    dur_int = jnp.where(valid, jnp.maximum(dur_int, 1), 0)
+    align = build_alignment_from_durations(
+        dur_int, valid, t_aud, budget=num_frames
+    )
+
+    aligned_text = jnp.einsum(
+        "bnt,bnd->btd", align.astype(text_ctx.dtype), text_ctx
+    )
+    condition = aligned_text + cond_vec
+    frame_valid = jnp.arange(t_aud)[None, :] < num_frames[:, None]
+    condition = condition * frame_valid[:, :, None].astype(condition.dtype)
+    return condition, frame_valid, num_frames
+
+
 def tts_decode(
     model: QwenCALM,
     params,
@@ -76,23 +112,9 @@ def tts_decode(
     noise init explicitly — the batched serving path generates row b from
     request b's OWN key so a request's audio is reproducible from its seed
     alone, independent of what it got batched with."""
-    num_frames = jnp.minimum(num_frames, t_aud)
-    dur_scaled = model.apply(
-        params, text_ctx, text_pad, num_frames, method=QwenCALM.predict_durations
+    condition, frame_valid, num_frames = tts_condition(
+        model, params, cond_vec, text_ctx, text_pad, num_frames, t_aud
     )
-    valid = ~text_pad
-    dur_int = jnp.floor(dur_scaled).astype(jnp.int32)
-    dur_int = jnp.where(valid, jnp.maximum(dur_int, 1), 0)
-    align = build_alignment_from_durations(
-        dur_int, valid, t_aud, budget=num_frames
-    )
-
-    aligned_text = jnp.einsum(
-        "bnt,bnd->btd", align.astype(text_ctx.dtype), text_ctx
-    )
-    condition = aligned_text + cond_vec
-    frame_valid = jnp.arange(t_aud)[None, :] < num_frames[:, None]
-    condition = condition * frame_valid[:, :, None].astype(condition.dtype)
 
     B = cond_vec.shape[0]
     if x_init is None:

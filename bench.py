@@ -21,7 +21,9 @@ Supplementary honest-serving metrics go to stderr as JSON lines
   - pipeline FLOPs + MFU vs the v5e bf16 peak (197 TFLOP/s)
 
 Env knobs: BENCH_BATCH=N (aggregate serving), BENCH_REALISTIC=0 (skip the
-second program; saves its compile), BENCH_ITERS=N.
+second program; saves its compile), BENCH_ITERS=N, BENCH_STEPS/BENCH_METHOD/
+BENCH_CFG (solver: euler+50+2.5 = reference protocol; euler+K+1.0 = the
+distilled few-step serving recipe, scripts/distill_calm.py).
 """
 
 import functools
@@ -52,7 +54,10 @@ def main():
     # BENCH_METHOD=euler BENCH_STEPS=50 reproduces the reference protocol.
     steps = int(os.environ.get("BENCH_STEPS", "12"))
     ode_method = os.environ.get("BENCH_METHOD", "midpoint")
-    cfg_scale = 2.5
+    # BENCH_CFG=1.0 drops the fused unconditional ODE batch — the distilled
+    # serving recipe (scripts/distill_calm.py bakes guidance into the head;
+    # pair with BENCH_METHOD=euler BENCH_STEPS=<K>)
+    cfg_scale = float(os.environ.get("BENCH_CFG", "2.5"))
     # headline is single-stream (B=1); BENCH_BATCH=N measures aggregate
     # serving throughput instead
     batch = int(os.environ.get("BENCH_BATCH", "1"))

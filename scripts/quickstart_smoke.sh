@@ -69,6 +69,18 @@ python scripts/train_calm.py --config configs/tts.yaml --cpu --max-steps 6 \
   --override training.bf16=false --override training.logging_steps=2 \
   --override training.save_steps=6 --override training.output_dir="$ROOT/calm"
 
+echo "== 6b. few-step distillation of the trained TTS head"
+python scripts/distill_calm.py --config configs/tts.yaml --cpu --max-steps 4 \
+  --byte-tokenizer "${TINY_MODEL[@]}" \
+  --task tts --student-steps 2 --teacher-substeps 2 \
+  --components "$ROOT/calm/components" \
+  --override "data.datasets.tts.latent_dir=$ROOT/latents" \
+  --override data.datasets.tts.subsets=dev-clean \
+  --override training.per_device_train_batch_size=1 \
+  --override training.bf16=false --override training.logging_steps=2 \
+  --override training.save_steps=4 --override training.output_dir="$ROOT/calm"
+test -d "$ROOT/calm/distill_tts/components"
+
 echo "== 7. sanity checks"
 python scripts/sanity_checks.py --config configs/tts.yaml --cpu --byte-tokenizer \
   --latent-audit "$ROOT/latents" --components "$ROOT/calm/components" \

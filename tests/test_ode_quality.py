@@ -212,3 +212,62 @@ def test_asr_solver_token_agreement(trained_asr):
     assert table["midpoint-10"] >= 0.9, table
     # degradation sanity: fewer evals decode measurably worse
     assert table["euler-4"] < table["euler-20"], table
+
+
+def test_asr_distilled_student_token_agreement(trained_asr):
+    """Few-step distillation measured on the ASR product metric (decoded
+    tokens): a 2-eval student (train/distill.py, teacher cfg=1.0 — pure
+    step-count compression) must decode far closer to the dense solution
+    than a 2-step undistilled solve, approaching the reference protocol's
+    euler-20 at a TENTH of the evals. Lives here (not test_distill) to
+    reuse the module's trained ASR fixture. Table: BASELINE.md "Few-step
+    distillation"."""
+    from audio_calm_tpu.config import TrainingConfig
+    from audio_calm_tpu.train.distill import (
+        distill_param_label, make_distill_step, split_for_distill,
+    )
+    from audio_calm_tpu.train.optim import make_optimizer
+    from audio_calm_tpu.train.steps import init_train_state, shard_step
+
+    model, params, batch = trained_asr
+    full = params["params"]
+    label = lambda k: distill_param_label(k, "asr")
+    trainable, frozen_wt = split_for_distill(full, "asr")
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.05,
+                          weight_decay=0.0)
+    tx = make_optimizer(tcfg, trainable, label, total_steps=300)
+    state = init_train_state(trainable, tx)
+    step, state, frozen_wt = shard_step(
+        make_distill_step(model, tx, "asr", student_steps=2,
+                          cfg_scale=1.0, teacher_substeps=8, t_grid=8),
+        make_mesh(), state, frozen_wt,
+    )
+    dbatch = {k: batch[k]
+              for k in ("text_ids", "attention_mask", "latents", "audio_mask")}
+    for i in range(300):
+        state, m = step(state, frozen_wt, dbatch, jax.random.PRNGKey(500 + i))
+    assert np.isfinite(float(m["loss_distill"]))
+    student_full = merge_partitions(
+        {k: np.asarray(v) for k, v in state.trainable.items()},
+        {k: v for k, v in frozen_wt.items() if k[0] != "asr_flow_head"})
+
+    ref_ids, q_len = _decode_ids(model, params, batch, 400, "euler")
+    valid = np.arange(8)[None, :] < q_len[:, None]
+
+    def agree(p, steps):
+        ids, _ = _decode_ids(model, p, batch, steps, "euler")
+        return float((ids == ref_ids)[valid].mean())
+
+    table = {
+        "teacher euler-2": agree(params, 2),
+        "teacher euler-20 (reference protocol)": agree(params, 20),
+        "student euler-2 (distilled)": agree({"params": student_full}, 2),
+    }
+    print("\nASR distilled token agreement vs euler-400:")
+    for k, v in table.items():
+        print(f"  {k:40s} {v:.3f}")
+    # the 2-eval student must decisively beat the 2-step teacher ...
+    assert table["student euler-2 (distilled)"] >= \
+        table["teacher euler-2"] + 0.05, table
+    # ... and reach a usable regime approaching the 20-eval protocol
+    assert table["student euler-2 (distilled)"] >= 0.85, table
