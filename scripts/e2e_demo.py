@@ -25,6 +25,10 @@ def main(argv=None):
     p.add_argument("--write-wavs", default=None, help="dir for generated wavs")
     p.add_argument("--vocoder", default=None,
                    help="HiFi-GAN checkpoint path (default Griffin-Lim)")
+    p.add_argument("--distill-steps", type=int, default=0,
+                   help="stage-3 few-step distillation steps (0 = off)")
+    p.add_argument("--distill-k", type=int, default=4,
+                   help="student ODE step count for --distill-steps")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -34,15 +38,26 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
 
-    matches, total = run_demo(args.steps_vae, args.steps_calm, args.write_wavs,
-                              vocoder_path=args.vocoder)
+    matches, total, distilled = run_demo(
+        args.steps_vae, args.steps_calm, args.write_wavs,
+        vocoder_path=args.vocoder, distill_steps=args.distill_steps,
+        distill_k=args.distill_k,
+    )
     print(f"pitch match: {matches}/{total}")
-    return 0 if matches == total else 1
+    ok = matches == total
+    if distilled is not None:
+        print(f"distilled-{args.distill_k} pitch match: {distilled}/{total}")
+        ok = ok and distilled == total
+    return 0 if ok else 1
 
 
 def run_demo(steps_vae: int, steps_calm: int, wav_dir=None, seed: int = 0,
-             vocoder_path=None):
-    """-> (matched_words, total_words). Importable for tests."""
+             vocoder_path=None, distill_steps: int = 0, distill_k: int = 4):
+    """-> (matched_words, total_words, distilled_matched_or_None).
+
+    Importable for tests. distill_steps > 0 adds a stage-3 few-step
+    distillation (train/distill.py) and re-checks every word's pitch with
+    the K-eval guidance-baked student (steps=distill_k, cfg 1.0)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -188,42 +203,81 @@ def run_demo(steps_vae: int, steps_calm: int, wav_dir=None, seed: int = 0,
     calm_params = {"params": merge_partitions(cst.trainable, cfr)}
 
     # ---- synthesize each word; check the dominant mel band
-    matches = 0
-    for w in WORDS:
-        ids = np.asarray(tok.encode(w), np.int32)[None]
-        lat, nf = tts_generate_latents(
-            calm, calm_params, jnp.asarray(ids),
-            jnp.ones_like(jnp.asarray(ids)), jax.random.PRNGKey(3),
-            steps=32, cfg_scale=2.0, t_aud=T_AUD,
-        )
-        n = max(4, int(nf[0]) // 4 * 4)
-        mel_n = vae.apply(vae_params, lat[:, :n].astype(jnp.float32),
-                          method=AcousticVAE.decode)
-        mel_dn = np.asarray(mel_n)[0] * mel_std + mel_mean
-        band = int(np.argmax(mel_dn.mean(axis=0)))
-        ref_band = int(
-            np.argmax(np.asarray(fe(jnp.asarray(utter([w])[None])))[0].mean(0))
-        )
-        ok = abs(band - ref_band) <= 4
-        matches += ok
-        print(f"[e2e] word {w}: gen band {band} vs ref {ref_band} -> "
-              f"{'OK' if ok else 'MISS'}")
-        if wav_dir:
-            import os
-            import wave as wavelib
+    def check_words(params_dict, steps, cfg_scale, tag=""):
+        matched = 0
+        for w in WORDS:
+            ids = np.asarray(tok.encode(w), np.int32)[None]
+            lat, nf = tts_generate_latents(
+                calm, params_dict, jnp.asarray(ids),
+                jnp.ones_like(jnp.asarray(ids)), jax.random.PRNGKey(3),
+                steps=steps, cfg_scale=cfg_scale, t_aud=T_AUD,
+            )
+            n = max(4, int(nf[0]) // 4 * 4)
+            mel_n = vae.apply(vae_params, lat[:, :n].astype(jnp.float32),
+                              method=AcousticVAE.decode)
+            mel_dn = np.asarray(mel_n)[0] * mel_std + mel_mean
+            band = int(np.argmax(mel_dn.mean(axis=0)))
+            ref_band = int(np.argmax(
+                np.asarray(fe(jnp.asarray(utter([w])[None])))[0].mean(0)))
+            ok = abs(band - ref_band) <= 4
+            matched += ok
+            print(f"[e2e] {tag}word {w}: gen band {band} vs ref {ref_band} "
+                  f"-> {'OK' if ok else 'MISS'}")
+            if wav_dir:
+                import os
+                import wave as wavelib
 
-            from audio_calm_tpu.models.vocoder import load_vocoder
+                from audio_calm_tpu.models.vocoder import load_vocoder
 
-            os.makedirs(wav_dir, exist_ok=True)
-            voc = load_vocoder(vocoder_path)
-            wav = np.asarray(voc(jnp.asarray(mel_dn[None])))[0]
-            x16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
-            with wavelib.open(os.path.join(wav_dir, f"{w}.wav"), "wb") as f:
-                f.setnchannels(1)
-                f.setsampwidth(2)
-                f.setframerate(16000)
-                f.writeframes(x16.tobytes())
-    return matches, len(WORDS)
+                os.makedirs(wav_dir, exist_ok=True)
+                voc = load_vocoder(vocoder_path)
+                wav = np.asarray(voc(jnp.asarray(mel_dn[None])))[0]
+                x16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+                name = f"{tag.strip('[] ')}_{w}.wav" if tag else f"{w}.wav"
+                with wavelib.open(os.path.join(wav_dir, name), "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(16000)
+                    f.writeframes(x16.tobytes())
+        return matched
+
+    matches = check_words(calm_params, steps=32, cfg_scale=2.0)
+    if not distill_steps:
+        return matches, len(WORDS), None
+
+    # ---- stage 3 (optional): few-step distillation, verified on AUDIO —
+    # the K-eval guidance-baked student must still hit every word's pitch
+    from audio_calm_tpu.train.distill import (
+        distill_param_label, make_distill_step, split_for_distill,
+    )
+
+    dtr, dfr = split_for_distill(calm_params["params"], "tts")
+    dtx = make_optimizer(
+        TrainingConfig(learning_rate=1e-3, warmup_ratio=0.05,
+                       weight_decay=0.0),
+        dtr, lambda k: distill_param_label(k, "tts"), distill_steps,
+    )
+    dst = init_train_state(dtr, dtx)
+    dstep, dst, dfr = shard_step(
+        make_distill_step(calm, dtx, "tts", student_steps=distill_k,
+                          cfg_scale=2.0, teacher_substeps=8, t_grid=T_AUD),
+        mesh, dst, dfr,
+    )
+    for i in range(distill_steps):
+        b = calm_batch()
+        dst, dmt = dstep(
+            dst, dfr, {k: b[k] for k in ("text_ids", "attention_mask")},
+            jax.random.PRNGKey(77),
+        )
+    print(f"[e2e] distill loss {float(dmt['loss_distill']):.4f} "
+          f"({time.time()-t00:.0f}s)")
+    student_params = {"params": merge_partitions(
+        dst.trainable,
+        {k: v for k, v in dfr.items() if k[0] != "tts_flow_head"})}
+    student_matches = check_words(
+        student_params, steps=distill_k, cfg_scale=1.0,
+        tag=f"[distilled-{distill_k}] ")
+    return matches, len(WORDS), student_matches
 
 
 if __name__ == "__main__":
