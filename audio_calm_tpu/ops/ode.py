@@ -13,6 +13,9 @@ Beyond reference parity (both default OFF):
     steps near t=0 where the velocity field bends most)
   - method="midpoint": 2nd-order integrator; comparable quality at half
     the steps of Euler.
+For far fewer steps than any integrator can deliver, distill the head
+(train/distill.py): a K-step student with guidance baked in runs euler-K
+at cfg_scale=1.0 through this same solver.
 """
 
 from __future__ import annotations
