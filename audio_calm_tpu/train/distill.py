@@ -76,6 +76,69 @@ def split_for_distill(full_params, task: str = "tts"):
     return student, {**frozen, **trainable}
 
 
+def quality_probe(model, teacher_full, student_full, batch, task: str,
+                  student_steps: int, cfg_scale: float,
+                  dense_steps: int = 128) -> dict:
+    """Post-distillation quality probe on one batch (host-side).
+
+    TTS -> {"rel_err_student", "rel_err_teacher_coarse"}: endpoint rel-L2
+    vs the teacher's dense guided solution over valid frames (the coarse
+    row is the UNdistilled teacher at the student's step count — the
+    honest before/after). ASR -> token agreement vs the dense decode.
+    Used by scripts/distill_calm.py to print a measured before/after;
+    the methodology matches tests/test_distill.py / BASELINE.md.
+    """
+    import numpy as np
+
+    tp = {"params": teacher_full}
+    sp = {"params": student_full}
+    if task == "tts":
+        from audio_calm_tpu.eval.infer import tts_generate_latents
+
+        def endpoint(p, steps, cfg):
+            lat, n = jax.jit(
+                lambda pr, ti, am, k: tts_generate_latents(
+                    model, pr, ti, am, k, steps=steps, cfg_scale=cfg,
+                    t_aud=model.cfg.max_audio_len),
+            )(p, batch["text_ids"], batch["attention_mask"],
+              jax.random.PRNGKey(7))
+            return np.asarray(lat), np.asarray(n)
+
+        ref, n = endpoint(tp, dense_steps, cfg_scale)
+        coarse, _ = endpoint(tp, student_steps, cfg_scale)
+        stu, _ = endpoint(sp, student_steps, 1.0)
+        valid = (np.arange(ref.shape[1])[None, :] < n[:, None])[:, :, None]
+
+        def rel(x):
+            return float(np.linalg.norm((x - ref) * valid)
+                         / max(np.linalg.norm(ref * valid), 1e-12))
+
+        return {"rel_err_student": rel(stu),
+                "rel_err_teacher_coarse": rel(coarse)}
+
+    from audio_calm_tpu.eval.infer import asr_generate_ids
+
+    def decode(p, steps, cfg):
+        ids, q = jax.jit(
+            lambda pr, la, am, ti, tm, k: asr_generate_ids(
+                model, pr, la, am, ti, tm, k, steps=steps, cfg_scale=cfg,
+                num_queries=model.cfg.max_text_len),
+        )(p, batch["latents"], batch["audio_mask"],
+          batch["text_ids"], batch["attention_mask"], jax.random.PRNGKey(7))
+        return np.asarray(ids), np.asarray(q)
+
+    ref_ids, q = decode(tp, dense_steps, cfg_scale)
+    valid = np.arange(ref_ids.shape[1])[None, :] < q[:, None]
+
+    def agree(p, steps, cfg):
+        ids, _ = decode(p, steps, cfg)
+        return float((ids == ref_ids)[valid].mean())
+
+    return {"token_agreement_student": agree(sp, student_steps, 1.0),
+            "token_agreement_teacher_coarse": agree(tp, student_steps,
+                                                    cfg_scale)}
+
+
 def make_distill_step(
     model: QwenCALM,
     tx,

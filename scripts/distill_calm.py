@@ -205,6 +205,26 @@ def main(argv=None):
 
     # the student head shadows the teacher in the merge -> standard layout
     final = merge_partitions(state.trainable, frozen_wt)
+
+    # measured before/after on one held-out batch (same methodology as
+    # BASELINE.md "Few-step distillation" / tests/test_distill.py)
+    if n_proc == 1:
+        import json
+
+        from audio_calm_tpu.train.distill import quality_probe
+
+        raw = next(iter(calm_batch_iterator(
+            ds, min(global_bs, 4), tokenizer.pad_token_id or 0, m.latent_dim,
+            task_prob_tts=1.0 if task == "tts" else 0.0, training=False,
+            seed=t.seed + 1, epochs=1,
+        )))
+        pb = {k: jnp.asarray(raw[k]) for k in keep}
+        teacher_tree = merge_partitions({}, frozen_wt)
+        probe = quality_probe(model, teacher_tree, final, pb, task,
+                              args.student_steps, cfg_scale)
+        print(f"quality probe (teacher-dense reference): "
+              f"{json.dumps(probe)}")
+
     out_dir = os.path.join(out_root, "components")
     save_components(final, out_dir)
     print(f"saved distilled components to {out_dir}")
