@@ -289,6 +289,42 @@ def split_text_for_tts(
     return chunks or [text]
 
 
+def split_wav_for_asr(wav: np.ndarray, max_samples: int,
+                      search_samples: Optional[int] = None,
+                      frame: int = 400) -> list:
+    """Split a long waveform into <=max_samples chunks at low-energy points
+    (beyond reference: eval_calm.py caps audio at the 384-latent-frame
+    budget — ~24.6 s at 16 kHz — and anything longer is simply truncated,
+    calm_config.yaml max_speech_token_num).
+
+    Greedy left-to-right: each cut lands in the middle of the
+    minimum-RMS `frame`-sample window inside the last `search_samples` of
+    the current max-length window, so chunk boundaries prefer pauses over
+    word interiors. Chunks do not overlap and concatenate back to the
+    input exactly; every chunk is <= max_samples and non-empty (except a
+    zero-length input, which returns one empty chunk).
+    """
+    wav = np.asarray(wav, np.float32)
+    if search_samples is None:
+        search_samples = max(frame, max_samples // 8)
+    out: list = []
+    pos, n = 0, len(wav)
+    while n - pos > max_samples:
+        hi = pos + max_samples
+        lo = max(hi - int(search_samples), pos + 1)
+        seg = wav[lo:hi]
+        k = len(seg) // frame * frame
+        if k >= frame:
+            rms = np.square(seg[:k].reshape(-1, frame)).mean(axis=1)
+            cut = lo + int(np.argmin(rms)) * frame + frame // 2
+        else:
+            cut = hi
+        out.append(wav[pos:cut])
+        pos = cut
+    out.append(wav[pos:])
+    return out
+
+
 def crossfade_concat(wavs: list, sample_rate: int = 16000,
                      crossfade_ms: float = 20.0) -> np.ndarray:
     """Concatenate waveform chunks with an equal-power crossfade at each
@@ -694,3 +730,46 @@ class CALMInference:
         ids, q_len = np.asarray(ids), np.asarray(q_len)
         return [self._asr_decode_row(ids[i], int(q_len[i]))
                 for i in range(B)]
+
+    def asr_long(self, wav: np.ndarray, rng: jax.Array, encode,
+                 max_wav_samples: int, steps: int = 20,
+                 cfg_scale: float = 1.0, method: str = "euler",
+                 time_schedule: str = "uniform",
+                 search_ms: float = 1500.0, sample_rate: int = 16000,
+                 max_decode_batch: int = 8) -> str:
+        """Long-form waveform -> transcript: split the wav into
+        <=max_wav_samples chunks at low-energy points (split_wav_for_asr),
+        encode them to latents, decode each chunk's transcript with the
+        batched flow program, and join. (Beyond reference: eval_calm.py
+        truncates audio at the 384-frame budget.)
+
+        `encode`: list[wav chunk] -> list[latents [T_i, latent_dim]] — e.g.
+        serving.frontend.encode_chunks over a make_asr_frontend pair, which
+        runs one batched masked-VAE encode per wav bucket.
+
+        Key contract: a single-chunk wav decodes with `rng` itself (so
+        asr_long == the wav's solo asr() when it fits the budget);
+        multi-chunk wavs give chunk i the key fold_in(rng, i). Chunk keys
+        never depend on how chunks are grouped into device batches, so the
+        transcript is a function of (audio, rng) alone — the same
+        batch-composition-invariance contract as asr_batch.
+        """
+        chunks = [c for c in split_wav_for_asr(
+            wav, int(max_wav_samples),
+            search_samples=int(search_ms / 1000.0 * sample_rate),
+        ) if len(c)]
+        if not chunks:
+            return ""
+        lats = encode(chunks)
+        if len(chunks) == 1:
+            keys = [rng]
+        else:
+            keys = [jax.random.fold_in(rng, i) for i in range(len(chunks))]
+        texts: list = []
+        for i in range(0, len(lats), max_decode_batch):
+            texts.extend(self.asr_batch(
+                lats[i:i + max_decode_batch], keys[i:i + max_decode_batch],
+                steps=steps, cfg_scale=cfg_scale, method=method,
+                time_schedule=time_schedule,
+            ))
+        return " ".join(t.strip() for t in texts if t.strip())

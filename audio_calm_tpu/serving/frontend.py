@@ -99,3 +99,21 @@ def make_asr_frontend(vae, vae_params, vae_cfg: VAEModelConfig,
         return out
 
     return prep, batch
+
+
+def encode_chunks(prep, batch, chunks: List[np.ndarray]) -> List[np.ndarray]:
+    """Encode variable-length wav chunks through a make_asr_frontend pair:
+    group the prepped chunks by wav bucket and run ONE batched masked-VAE
+    encode per bucket, preserving input order. This is the `encode`
+    callable CALMInference.asr_long expects (rows are length-exact, so
+    grouping never changes a chunk's latents)."""
+    prepped = [prep(c) for c in chunks]
+    by_bucket: dict = {}
+    for i, (bucket, padded, n) in enumerate(prepped):
+        by_bucket.setdefault(bucket, []).append((i, padded, n))
+    out: List[np.ndarray] = [None] * len(chunks)  # type: ignore[list-item]
+    for grp in by_bucket.values():
+        lats = batch([(p, n) for _, p, n in grp])
+        for (i, _, _), lat in zip(grp, lats):
+            out[i] = lat
+    return out

@@ -162,6 +162,9 @@ def build_engine(args):
     lat_buckets = cfg.evaluation.audio_buckets or [m.max_audio_len]
     prep_asr, asr_frontend_batch = make_asr_frontend(
         vae, vae_params, vae_cfg, mel_cfg, lat_buckets)
+    # wavs longer than the biggest bucket route through the chunked
+    # long-form /asr path (split at low-energy points, decode per chunk)
+    max_asr_samples = lat_buckets[-1] * vae_cfg.total_stride * mel_cfg.hop_length
 
     def single_chunk(text):
         return len(inf.split_chunks(text)) == 1
@@ -194,7 +197,8 @@ def build_engine(args):
         wavs = render.batch(latents, n_frames)
         return [np.clip(w, -1, 1) for w in wavs]
 
-    return tts, tts_stream, prep_asr, next_key, single_chunk, run_group, cfg
+    return (tts, tts_stream, prep_asr, next_key, single_chunk, run_group,
+            cfg, max_asr_samples)
 
 
 def streaming_wav_header(sr=16000):
@@ -254,7 +258,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     (tts, tts_stream, prep_asr, next_key, single_chunk, run_group,
-     cfg) = build_engine(args)
+     cfg, max_asr_samples) = build_engine(args)
     e = cfg.evaluation
     # threaded server so /health and slow clients don't block each other;
     # device work itself is serialized (one chip, one engine)
@@ -330,11 +334,12 @@ def main(argv=None):
             return self._json(404, {"error": "unknown path"})
 
         # production guards: a Content-Length beyond any legitimate request
-        # (the max /asr wav is ~25 s of PCM16; /tts bodies are small JSON)
-        # is refused before the body buffers in memory, and /tts text is
-        # capped so one request can't monopolize the device for minutes
+        # is refused before the body buffers in memory; /tts text and /asr
+        # audio duration are capped so one request can't monopolize the
+        # device for minutes (long-form /asr chunks up to MAX_ASR_SAMPLES)
         MAX_BODY_BYTES = 64 * 1024 * 1024
         MAX_TTS_CHARS = 20_000
+        MAX_ASR_SAMPLES = 600 * 16000  # 10 min of 16 kHz audio
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
@@ -463,6 +468,12 @@ def main(argv=None):
                     seed = int(seed)
                 except ValueError:
                     return self._json(400, {"error": "seed must be an int"})
+            if len(x) > self.MAX_ASR_SAMPLES:
+                return self._json(413, {
+                    "error": f"audio exceeds "
+                             f"{self.MAX_ASR_SAMPLES // 16000} s"})
+            if len(x) > max_asr_samples:
+                return self._post_asr_long(x, seed, t0)
             # BOTH stages coalesce with concurrent /asr requests:
             # the wav->VAE frontend batches per wav bucket, the flow
             # decode batches per steps group (each its own batched
@@ -473,6 +484,31 @@ def main(argv=None):
                                   (lat, next_key(seed))).result()
             self._json(200, {"text": text})
             # after the write: a disconnect counts as error OR success
+            stats.record_request("asr", time.monotonic() - t0)
+
+        def _post_asr_long(self, x, seed, t0):
+            """Long-form /asr: wavs past the biggest bucket split at
+            low-energy points; every chunk's frontend and decode goes
+            through the SAME batcher groups as short requests (so chunks
+            coalesce with each other AND with concurrent traffic). Chunk
+            keys fold_in(base, i) match CALMInference.asr_long, so the
+            transcript equals the library call with PRNGKey(seed)."""
+            import jax
+
+            from audio_calm_tpu.eval.infer import split_wav_for_asr
+
+            chunks = [c for c in split_wav_for_asr(
+                x, max_asr_samples, search_samples=16000 * 3 // 2,
+            ) if len(c)]
+            base = next_key(seed)
+            keys = [jax.random.fold_in(base, i) for i in range(len(chunks))]
+            fe = [batcher.submit(("fe", b), (p, n))
+                  for b, p, n in map(prep_asr, chunks)]
+            dec = [batcher.submit(("asr", e.asr_steps), (f.result(), k))
+                   for f, k in zip(fe, keys)]
+            texts = [d.result().strip() for d in dec]
+            self._json(200, {"text": " ".join(t for t in texts if t),
+                             "chunks": len(chunks)})
             stats.record_request("asr", time.monotonic() - t0)
 
     # --port 0 binds an ephemeral port; the "serving on :<port>" line is the

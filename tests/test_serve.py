@@ -145,6 +145,34 @@ def test_asr_accepts_wav(server):
     assert "text" in out and isinstance(out["text"], str)
 
 
+def test_asr_long_wav_chunked(server):
+    """A wav past the 32-latent budget (32*1024 samples) takes the chunked
+    long-form path: 200, multiple chunks, and a seeded request is
+    deterministic (chunk keys fold_in the seed, batch-invariant)."""
+    sr = 16000
+    n = 3 * 32 * 1024  # 3x the biggest wav bucket (~6.1 s)
+    rng = np.random.default_rng(5)
+    pcm = (np.clip(rng.standard_normal(n) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    body = buf.getvalue()
+
+    def post():
+        req = urllib.request.Request(server + "/asr?seed=7", data=body,
+                                     headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.load(r)
+
+    out1, out2 = post(), post()
+    assert out1["chunks"] >= 2 and isinstance(out1["text"], str)
+    assert out1 == out2
+
+
 def test_tts_streaming_chunked(server):
     """stream:true -> chunked transfer; audio arrives in multiple chunks
     (header first), and the total PCM length matches the non-streamed

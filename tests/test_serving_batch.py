@@ -371,6 +371,75 @@ def test_asr_frontend_bucketed_matches_exact():
             np.testing.assert_allclose(lat, exact, rtol=2e-4, atol=2e-5)
 
 
+def test_split_wav_for_asr_cuts_at_silence():
+    """Chunks are <= max, concatenate back exactly, and the cut prefers
+    the silent band inside the search window over word interiors."""
+    from audio_calm_tpu.eval.infer import split_wav_for_asr
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    wav = (rng.standard_normal(3 * sr) * 0.5).astype(np.float32)
+    wav[14000:15000] = 0.0  # a pause just before the 1 s boundary
+    chunks = split_wav_for_asr(wav, max_samples=sr, search_samples=4000,
+                               frame=400)
+    assert all(len(c) <= sr for c in chunks) and len(chunks) >= 3
+    np.testing.assert_array_equal(np.concatenate(chunks), wav)
+    assert 14000 <= len(chunks[0]) <= 15000  # first cut in the silence
+    # inputs inside the budget degenerate to one chunk
+    assert len(split_wav_for_asr(wav[:100], sr)) == 1
+
+
+def test_asr_long_matches_per_chunk_solo(tiny_inf):
+    """asr_long == joining solo asr() per chunk under the documented key
+    contract (fold_in(rng, i); rng itself for a single chunk), whatever
+    the decode grouping — transcripts are a function of (audio, rng)."""
+    from audio_calm_tpu.config import MelConfig, VAEModelConfig
+    from audio_calm_tpu.eval.infer import split_wav_for_asr
+    from audio_calm_tpu.models.vae import AcousticVAE
+    from audio_calm_tpu.serving.frontend import (encode_chunks,
+                                                 make_asr_frontend)
+
+    inf = tiny_inf
+    vae_cfg = VAEModelConfig(hidden_channels=32, latent_channels=8,
+                             norm_num_groups=8)
+    vae = AcousticVAE(vae_cfg)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 80)), train=False,
+    )
+    mel_cfg = MelConfig()
+    spf = vae_cfg.total_stride * mel_cfg.hop_length
+    prep, batch = make_asr_frontend(vae, vae_params, vae_cfg, mel_cfg,
+                                    [16, 32])
+    max_wav = 32 * spf
+
+    def encode(chunks):
+        return encode_chunks(prep, batch, chunks)
+
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(int(2.6 * max_wav)) * 0.3).astype(np.float32)
+    key = jax.random.PRNGKey(21)
+    joined = inf.asr_long(wav, key, encode, max_wav, steps=2)
+
+    chunks = [c for c in split_wav_for_asr(
+        wav, max_wav, search_samples=24000) if len(c)]
+    assert len(chunks) >= 3
+    lats = encode(chunks)
+    texts = [inf.asr(lat, jax.random.fold_in(key, i), steps=2)
+             for i, lat in enumerate(lats)]
+    assert joined == " ".join(t.strip() for t in texts if t.strip())
+
+    # decode-grouping invariance (chunks split across device batches)
+    assert joined == inf.asr_long(wav, key, encode, max_wav, steps=2,
+                                  max_decode_batch=2)
+
+    # a wav inside the budget decodes exactly like the solo asr(rng)
+    short = wav[: max_wav - 2048]
+    lat = encode([short])[0]
+    assert (inf.asr_long(short, key, encode, max_wav, steps=2)
+            == inf.asr(lat, key, steps=2))
+
+
 def test_serving_stats_record_latency_counts_no_request():
     """record_latency feeds percentiles only — synthetic kinds (stream
     TTFA) must never inflate the request counters."""
