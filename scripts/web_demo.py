@@ -42,9 +42,8 @@ def main(argv=None):
     from audio_calm_tpu.config import CALMConfig, MelConfig, load_config
     from audio_calm_tpu.eval.infer import CALMInference
     from audio_calm_tpu.models.calm import QwenCALM, init_calm_params
-    from audio_calm_tpu.models.vae import AcousticVAE, pad_to_stride
+    from audio_calm_tpu.models.vae import AcousticVAE
     from audio_calm_tpu.models.vocoder import load_vocoder
-    from audio_calm_tpu.ops.mel import MelFrontend, process_audio_chunk
     from audio_calm_tpu.config import VAEModelConfig
     from audio_calm_tpu.train.checkpoint import COMPONENTS, soft_restart
 
@@ -81,7 +80,7 @@ def main(argv=None):
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         jnp.zeros((1, 8, 80)), train=False,
     )
-    frontend = MelFrontend(MelConfig())
+    mel_cfg = MelConfig()
     vocoder = load_vocoder(cfg.evaluation.vocoder_path)
     print(f"vocoder: {type(vocoder).__name__}", file=sys.stderr)
     from audio_calm_tpu.eval.render import make_renderer
@@ -98,16 +97,27 @@ def main(argv=None):
                            crossfade_ms=cfg.evaluation.crossfade_ms)
         return 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
 
+    # ASR rides the bucketed masked-VAE frontend (static-shape programs,
+    # one per bucket, instead of a fresh compile per upload length) and
+    # asr_long, so uploads past the 24.6 s latent budget chunk at
+    # low-energy points instead of silently truncating
+    from audio_calm_tpu.serving.frontend import encode_chunks, make_asr_frontend
+
+    lat_buckets = cfg.evaluation.audio_buckets or [m.max_audio_len]
+    prep_a, batch_a = make_asr_frontend(vae, vae_params, vae_cfg, mel_cfg,
+                                        lat_buckets)
+    max_asr = lat_buckets[-1] * vae_cfg.total_stride * mel_cfg.hop_length
+
     def asr_fn(audio, steps):
         sr, wav = audio
-        wav = jnp.asarray(np.asarray(wav, np.float32) / 32768.0)
-        wav = process_audio_chunk(wav.T if wav.ndim == 2 else wav)
-        mel = pad_to_stride(frontend(wav[None]), vae_cfg.total_stride)
-        mu, _ = vae.apply(vae_params, mel, method=AcousticVAE.encode)
+        wav = np.asarray(wav, np.float32) / 32768.0
+        if wav.ndim == 2:  # mono mix (frontend peak-normalizes per chunk)
+            wav = wav.mean(axis=1 if wav.shape[1] <= 2 else 0)
         rng_holder[0], k = jax.random.split(rng_holder[0])
-        return inf.asr(np.asarray(mu[0]), k, steps=int(steps),
-                       method=cfg.evaluation.ode_method,
-                       time_schedule=cfg.evaluation.time_schedule)
+        return inf.asr_long(
+            wav, k, lambda cs: encode_chunks(prep_a, batch_a, cs), max_asr,
+            steps=int(steps), method=cfg.evaluation.ode_method,
+            time_schedule=cfg.evaluation.time_schedule)
 
     with gr.Blocks(title="Audio-CALM TPU") as demo:
         gr.Markdown("# Audio-CALM (TPU) — NAR flow-matching TTS / ASR")

@@ -97,6 +97,14 @@ def test_web_demo_tts_and_asr_paths(tmp_path, monkeypatch):
     text = asr_fn((16000, wav), steps=2)
     assert isinstance(text, str)
 
+    # an upload past the 32-latent budget (32*1024 samples) takes the
+    # asr_long chunked path instead of silently truncating
+    rng = np.random.default_rng(2)
+    long_wav = (np.clip(rng.standard_normal(3 * 32 * 1024) * 0.2, -1, 1)
+                * 32767).astype(np.int16)
+    long_text = asr_fn((16000, long_wav), steps=2)
+    assert isinstance(long_text, str)
+
 
 def test_web_demo_without_gradio_is_graceful(tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "gradio", None)  # forces ImportError
