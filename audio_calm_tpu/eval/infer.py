@@ -325,6 +325,37 @@ def split_wav_for_asr(wav: np.ndarray, max_samples: int,
     return out
 
 
+def crossfade_stream(wavs, sample_rate: int = 16000,
+                     crossfade_ms: float = 20.0):
+    """Generator: equal-power crossfade over an iterable of waveform
+    chunks, yielding audio incrementally (each chunk's fade-length tail is
+    held back until the next chunk arrives). The concatenation of the
+    yields equals crossfade_concat(list(wavs)) exactly — streaming and
+    whole-utterance long-form synthesis produce identical audio."""
+    fade = int(sample_rate * crossfade_ms / 1000.0)
+    held = None  # tail of the previous chunk, not yet emitted
+    for wav in wavs:
+        wav = np.asarray(wav, np.float32)
+        if held is not None:
+            f = min(fade, len(held), len(wav))
+            if f > 0:
+                t = np.linspace(0.0, np.pi / 2.0, f, dtype=np.float32)
+                wav = np.concatenate([
+                    held[: len(held) - f],
+                    held[len(held) - f:] * np.cos(t) + wav[:f] * np.sin(t),
+                    wav[f:],
+                ])
+            else:
+                wav = np.concatenate([held, wav])
+        if len(wav) > fade:
+            yield wav[: len(wav) - fade]
+            held = wav[len(wav) - fade:]
+        else:
+            held = wav
+    if held is not None and len(held):
+        yield held
+
+
 def crossfade_concat(wavs: list, sample_rate: int = 16000,
                      crossfade_ms: float = 20.0) -> np.ndarray:
     """Concatenate waveform chunks with an equal-power crossfade at each
@@ -598,38 +629,21 @@ class CALMInference:
                         max_chunk_tokens: Optional[int] = None):
         """Generator form of tts_long: yields waveform pieces as each text
         chunk is synthesized (time-to-first-audio = one chunk, not the
-        whole utterance). Crossfades are applied across yields by holding
-        back the fade-length tail of each chunk; the concatenation of the
-        yielded pieces equals tts_long's output exactly."""
+        whole utterance). Crossfades are applied across yields by
+        crossfade_stream; the concatenation of the yielded pieces equals
+        tts_long's output exactly."""
         chunks = self.split_chunks(text, max_chunk_tokens)
-        fade = int(16000 * crossfade_ms / 1000.0)
-        held = None  # tail of the previous chunk, not yet emitted
-        for chunk in chunks:
-            rng, k = jax.random.split(rng)
-            latents, n = self.tts(
-                chunk, k, steps=steps, cfg_scale=cfg_scale, method=method,
-                time_schedule=time_schedule, pad_to_grid=True,
-            )
-            wav = np.asarray(render(latents, n), np.float32)
-            if held is not None:
-                f = min(fade, len(held), len(wav))
-                if f > 0:
-                    t = np.linspace(0.0, np.pi / 2.0, f, dtype=np.float32)
-                    wav = np.concatenate([
-                        held[: len(held) - f],
-                        held[len(held) - f :] * np.cos(t)
-                        + wav[:f] * np.sin(t),
-                        wav[f:],
-                    ])
-                else:
-                    wav = np.concatenate([held, wav])
-            if len(wav) > fade:
-                yield wav[: len(wav) - fade]
-                held = wav[len(wav) - fade :]
-            else:
-                held = wav
-        if held is not None and len(held):
-            yield held
+
+        def chunk_wavs():
+            for chunk, k in zip(chunks, self.chunk_keys(rng, len(chunks))):
+                latents, n = self.tts(
+                    chunk, k, steps=steps, cfg_scale=cfg_scale,
+                    method=method, time_schedule=time_schedule,
+                    pad_to_grid=True,
+                )
+                yield np.asarray(render(latents, n), np.float32)
+
+        yield from crossfade_stream(chunk_wavs(), crossfade_ms=crossfade_ms)
 
     def tts_long(self, text: str, rng: jax.Array, render,
                  steps: int = 50, cfg_scale: float = 2.5,
@@ -650,6 +664,52 @@ class CALMInference:
         if not pieces:
             return np.zeros((0,), np.float32)
         return np.concatenate(pieces)
+
+    def chunk_keys(self, rng: jax.Array, n: int) -> list:
+        """The per-chunk PRNG keys tts_long_stream derives from `rng`
+        (sequential splits). Shared with the batched long-form paths so
+        batched, streamed, and solo synthesis of the same text from the
+        same key produce identical audio."""
+        keys = []
+        for _ in range(n):
+            rng, k = jax.random.split(rng)
+            keys.append(k)
+        return keys
+
+    def tts_long_batched(self, text: str, rng: jax.Array, render,
+                         steps: int = 50, cfg_scale: float = 2.5,
+                         method: str = "euler",
+                         time_schedule: str = "uniform",
+                         crossfade_ms: float = 20.0,
+                         max_chunk_tokens: Optional[int] = None,
+                         batch_size: int = 8) -> np.ndarray:
+        """tts_long with the text's chunks coalesced into batched device
+        programs: groups of up to `batch_size` chunks run as ONE encode +
+        ONE decode (tts_batch) + ONE render (render.batch) instead of a
+        solo pipeline per chunk — the B=8 aggregate throughput win
+        (BASELINE.md "TTS serving", ~1.5x device-side) applied WITHIN a
+        single long request.
+
+        Equivalent to tts_long for the same `rng`: chunk keys are the
+        same sequential splits (chunk_keys), each row's ODE noise comes
+        from its own key on a grid-invariant draw, and the masked VAE
+        decode + render make the LATENTS independent of bucket and batch
+        composition bit-exactly (test_tts_long_batched_matches_sequential).
+        The rendered float wav can differ from the sequential path at
+        ~1 ULP — XLA compiles different B=1 vs B=N conv programs — which
+        is at most 1 LSB on <0.1% of samples after the int16 wire
+        quantization (verified; inaudible)."""
+        chunks = self.split_chunks(text, max_chunk_tokens)
+        keys = self.chunk_keys(rng, len(chunks))
+        wavs = []
+        for i in range(0, len(chunks), batch_size):
+            latents, n_frames, _grid = self.tts_batch(
+                chunks[i:i + batch_size], keys[i:i + batch_size],
+                steps=steps, cfg_scale=cfg_scale, method=method,
+                time_schedule=time_schedule,
+            )
+            wavs.extend(render.batch(latents, n_frames))
+        return crossfade_concat(wavs, crossfade_ms=crossfade_ms)
 
     def _asr_pad(self, latents: np.ndarray):
         """One item's raw latents [T, D] -> (padded [t_max, D], mask)."""

@@ -13,7 +13,10 @@ served from the warm cache. Concurrent short /tts requests — and,
 separately, concurrent /asr requests — coalesce into ONE batched device
 program (--max-batch / --batch-window-ms; BASELINE.md measured B=8
 aggregate at ~1.5x the single-stream per-chip throughput, 378x vs 249x
-device-side on the same solver). "seed" pins a request's noise so its
+device-side on the same solver). Long-form requests (multi-chunk /tts
+text, /asr audio past the latent budget) submit each chunk to the SAME
+batcher groups, so a long request's chunks coalesce with each other and
+with concurrent traffic. "seed" pins a request's noise so its
 audio is reproducible and independent of batch composition; /asr rows
 likewise draw per-request noise, so batching never changes a transcript.
 
@@ -130,24 +133,6 @@ def build_engine(args):
             rng_state[0], k = jax.random.split(rng_state[0])
             return k
 
-    def tts(text, key, steps, cfg_scale):
-        # long-form path: sentence-chunk past the prompt budget, crossfade
-        # (degenerates to a single synthesis call for short text)
-        wav = inf.tts_long(text, key, render, steps=steps,
-                           cfg_scale=cfg_scale,
-                           method=cfg.evaluation.ode_method,
-                           time_schedule=cfg.evaluation.time_schedule,
-                           crossfade_ms=cfg.evaluation.crossfade_ms)
-        return np.clip(wav, -1, 1)
-
-    def tts_stream(text, key, steps, cfg_scale):
-        for piece in inf.tts_long_stream(
-            text, key, render, steps=steps, cfg_scale=cfg_scale,
-            method=cfg.evaluation.ode_method,
-            time_schedule=cfg.evaluation.time_schedule,
-            crossfade_ms=cfg.evaluation.crossfade_ms,
-        ):
-            yield np.clip(piece, -1, 1)
 
     # ASR frontend buckets: wav lengths quantize to the latent-grid
     # buckets so concurrent /asr frontends coalesce into ONE batched
@@ -166,8 +151,14 @@ def build_engine(args):
     # long-form /asr path (split at low-energy points, decode per chunk)
     max_asr_samples = lat_buckets[-1] * vae_cfg.total_stride * mel_cfg.hop_length
 
-    def single_chunk(text):
-        return len(inf.split_chunks(text)) == 1
+    def split_tts(text):
+        return inf.split_chunks(text)
+
+    def tts_chunk_keys(key, n):
+        # sequential splits of the request key — the derivation
+        # tts_long_stream uses, so batched, streamed, and library
+        # synthesis of the same (text, seed) produce identical audio
+        return inf.chunk_keys(key, n)
 
     def run_group(group_key, items):
         """Batcher device call. group_key routes the task:
@@ -197,7 +188,7 @@ def build_engine(args):
         wavs = render.batch(latents, n_frames)
         return [np.clip(w, -1, 1) for w in wavs]
 
-    return (tts, tts_stream, prep_asr, next_key, single_chunk, run_group,
+    return (prep_asr, next_key, split_tts, tts_chunk_keys, run_group,
             cfg, max_asr_samples)
 
 
@@ -257,11 +248,13 @@ def main(argv=None):
                         "encode over this many devices (dp*tp <= devices)")
     args = p.parse_args(argv)
 
-    (tts, tts_stream, prep_asr, next_key, single_chunk, run_group,
+    (prep_asr, next_key, split_tts, tts_chunk_keys, run_group,
      cfg, max_asr_samples) = build_engine(args)
     e = cfg.evaluation
     # threaded server so /health and slow clients don't block each other;
-    # device work itself is serialized (one chip, one engine)
+    # device work itself is serialized (one chip, one engine) inside
+    # run_group_locked — handlers never touch the device directly, they
+    # submit work to the batcher
     device_lock = threading.Lock()
 
     from audio_calm_tpu.serving import RequestBatcher, ServingStats
@@ -397,19 +390,36 @@ def main(argv=None):
 
                 try:
                     emit(streaming_wav_header())
-                    # chunk-granular locking: hold the device only
-                    # while synthesizing the next piece; the socket
-                    # write happens OUTSIDE the lock so a slow or
-                    # stalled client can't block other /tts and
-                    # /asr requests, and concurrent requests
-                    # interleave at chunk granularity
-                    gen = tts_stream(text, key, steps, scale)
+                    # Streaming rides the request batcher too: chunk 0
+                    # goes out ALONE (TTFA stays one small device call,
+                    # plus the batch window), and once its audio is on
+                    # the wire the REMAINING chunks submit together —
+                    # they coalesce with each other and with concurrent
+                    # traffic while the client is already playing
+                    # chunk 0 (playback consumes audio far slower than
+                    # the device makes it). Device work serializes in
+                    # run_group_locked; socket writes happen out here
+                    # where a slow client can't block anyone.
+                    import numpy as np
+
+                    from audio_calm_tpu.eval.infer import crossfade_stream
+
+                    chunks = split_tts(text)
+                    keys = tts_chunk_keys(key, len(chunks))
+
+                    def chunk_wavs():
+                        yield batcher.submit(("tts", steps, scale),
+                                             (chunks[0], keys[0])).result()
+                        futs = [batcher.submit(("tts", steps, scale),
+                                               (c, k))
+                                for c, k in zip(chunks[1:], keys[1:])]
+                        for f in futs:
+                            yield f.result()
+
                     first = True
-                    while True:
-                        with device_lock:
-                            piece = next(gen, None)
-                        if piece is None:
-                            break
+                    for piece in crossfade_stream(
+                            chunk_wavs(),
+                            crossfade_ms=e.crossfade_ms):
                         if first:
                             # TTFA: the latency clients actually feel —
                             # latency-only so it never counts as a request
@@ -417,6 +427,7 @@ def main(argv=None):
                                 "tts_stream_first_chunk",
                                 time.monotonic() - t0)
                             first = False
+                        piece = np.clip(piece, -1, 1)
                         emit((piece * 32767).astype("<i2").tobytes())
                     self.wfile.write(b"0\r\n\r\n")
                     stats.record_request("tts_stream",
@@ -431,16 +442,31 @@ def main(argv=None):
                     stats.record_request("tts_stream", 0.0, error=True)
                     self.close_connection = True
                 return
-            if single_chunk(text):
+            chunks = split_tts(text)
+            if len(chunks) == 1:
                 # concurrent short requests coalesce into one
                 # batched device program (group = same ODE
                 # settings); the Future resolves off the worker
                 wav = batcher.submit(("tts", steps, scale),
                                      (text, key)).result()
             else:
-                # long-form (multi-chunk) synthesis stays solo
-                with device_lock:
-                    wav = tts(text, key, steps, scale)
+                # long-form: every chunk rides the SAME ("tts", steps,
+                # scale) batcher group as short requests, so a long
+                # text's chunks coalesce with each other AND with
+                # concurrent traffic (the /asr long path's design).
+                # Chunk keys are the sequential splits tts_long_stream
+                # derives, so the audio equals the streaming path (and
+                # CALMInference.tts_long) for the same seed.
+                import numpy as np
+
+                from audio_calm_tpu.eval.infer import crossfade_concat
+
+                futs = [batcher.submit(("tts", steps, scale), (c, k))
+                        for c, k in zip(chunks,
+                                        tts_chunk_keys(key, len(chunks)))]
+                wav = np.clip(crossfade_concat(
+                    [f.result() for f in futs],
+                    crossfade_ms=e.crossfade_ms), -1, 1)
             data = wav_bytes(wav)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")

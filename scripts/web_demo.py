@@ -90,11 +90,14 @@ def main(argv=None):
 
     def tts_fn(text, steps, cfg_scale):
         rng_holder[0], k = jax.random.split(rng_holder[0])
-        wav = inf.tts_long(text, k, render, steps=int(steps),
-                           cfg_scale=float(cfg_scale),
-                           method=cfg.evaluation.ode_method,
-                           time_schedule=cfg.evaluation.time_schedule,
-                           crossfade_ms=cfg.evaluation.crossfade_ms)
+        # batched long-form: a multi-chunk text runs its chunks as ONE
+        # batched device program per <=8 group (same audio as tts_long,
+        # ~1.5x device throughput — BASELINE.md "TTS serving")
+        wav = inf.tts_long_batched(text, k, render, steps=int(steps),
+                                   cfg_scale=float(cfg_scale),
+                                   method=cfg.evaluation.ode_method,
+                                   time_schedule=cfg.evaluation.time_schedule,
+                                   crossfade_ms=cfg.evaluation.crossfade_ms)
         return 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
 
     # ASR rides the bucketed masked-VAE frontend (static-shape programs,

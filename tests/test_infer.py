@@ -286,6 +286,48 @@ def test_tts_long_chunks_and_renders(tiny):
     assert np.isfinite(wav).all()
 
 
+def test_tts_long_batched_matches_sequential(tiny):
+    """tts_long_batched == tts_long bit-exactly for the same rng: same
+    chunk split, same per-chunk key derivation (chunk_keys), and
+    grid/batch-invariant per-row noise. The fake renderer derives its
+    output from the latent VALUES, so any latent divergence between the
+    solo and batched chunk pipelines fails the equality."""
+    from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.eval.infer import TTS_PROMPT, split_text_for_tts
+
+    model, params = tiny
+    tok = ByteTokenizer()
+    inf = CALMInference(model, params, tok,
+                        audio_buckets=[16, 32], text_buckets=[64, 96])
+
+    def render(latents, n):
+        # value-sensitive deterministic "waveform": repeat each valid
+        # frame's latent sum to SAMPLES_PER_FRAME samples
+        v = np.asarray(latents[: int(n)], np.float32).sum(axis=1)
+        return np.repeat(v, 1024)
+
+    render.batch = lambda lat, ns: [render(lat[i], n)
+                                    for i, n in enumerate(ns)]
+
+    overhead = len(tok.encode(TTS_PROMPT.format(""), add_special_tokens=False))
+    text = "The cat sat. The dog ran! A bird flew; fish swam. All done."
+    budget = overhead + 16
+    n_chunks = len(split_text_for_tts(text, tok, budget))
+    assert n_chunks >= 3  # exercise a multi-row batch
+    rng = jax.random.PRNGKey(7)
+    solo = inf.tts_long(text, rng, render, steps=2, cfg_scale=1.5,
+                        max_chunk_tokens=budget)
+    batched = inf.tts_long_batched(text, rng, render, steps=2,
+                                   cfg_scale=1.5, max_chunk_tokens=budget)
+    assert solo.shape == batched.shape
+    np.testing.assert_array_equal(solo, batched)
+    # sub-batching (group smaller than the chunk count) must not change it
+    batched2 = inf.tts_long_batched(text, rng, render, steps=2,
+                                    cfg_scale=1.5, max_chunk_tokens=budget,
+                                    batch_size=2)
+    np.testing.assert_array_equal(solo, batched2)
+
+
 def test_compute_dtype_resolution():
     """resolve_compute_dtype: the evaluation.compute_dtype contract."""
     from audio_calm_tpu.models.flagship import resolve_compute_dtype
