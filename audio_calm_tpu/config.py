@@ -254,6 +254,13 @@ class DataConfig:
     # batches pad to the smallest bucket that fits, trading one extra XLA
     # compile per bucket for less wasted compute on short utterances
     audio_buckets: Optional[List[int]] = None
+    # length-grouped batching (reference ships HF group_by_length DISABLED,
+    # train_calm.py:113-117): draw this many batches at a time, sort by
+    # audio length, re-slice — concentrates batches into the smallest
+    # fitting bucket so audio_buckets actually pay off. 0 = off; 16 is the
+    # measured recipe (BASELINE.md). Single-host only (multi-host ignores
+    # buckets and grouping to keep processes lock-stepped).
+    length_group_window: int = 0
     # VAE training data
     data_dir: Optional[str] = None
     eval_data_dir: Optional[str] = None

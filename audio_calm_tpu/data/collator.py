@@ -78,6 +78,7 @@ def calm_batch_iterator(
     seed: int = 0,
     epochs: Optional[int] = None,
     audio_buckets: Optional[List[int]] = None,
+    length_group_window: int = 0,
     process_index: int = 0,
     process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
@@ -90,6 +91,19 @@ def calm_batch_iterator(
     With audio_buckets (ascending lengths), each batch pads its audio to the
     smallest bucket that fits its longest example — one jit compile per
     (task, bucket) shape instead of always paying max_audio_len.
+
+    length_group_window = N > 0 enables length-grouped batching (the
+    reference keeps per-item lengths for HF's group_by_length but ships it
+    DISABLED, train_calm.py:113-117): examples are drawn N batches at a
+    time from the shuffled order, sorted by audio length, sliced into
+    batches, and the batch order within the window reshuffled. Random
+    draws scatter one long utterance into most batches, dragging every
+    batch up to the top bucket; sorted windows concentrate batches into
+    the SMALLEST bucket that fits, so the static bucket shapes actually
+    pay off (measured on the LibriSpeech length distribution — see
+    BASELINE.md). Each example is still seen exactly once per epoch, and
+    the task stream (Bernoulli per batch) is unchanged — grouping only
+    reorders rows WITHIN a task.
 
     Multi-host: with process_count > 1, `batch_size` is the GLOBAL batch;
     every process draws the identical order/task stream (same seed) but
@@ -106,7 +120,9 @@ def calm_batch_iterator(
                 f"global batch {batch_size} not divisible by "
                 f"{process_count} processes"
             )
+        # bucket/window choices would depend on rows other processes hold
         audio_buckets = None
+        length_group_window = 0
     if audio_buckets:
         audio_buckets = sorted(audio_buckets)
     # order/task draws come from `rng` and are identical on every process;
@@ -114,6 +130,9 @@ def calm_batch_iterator(
     # desynchronize the shared order stream
     rng = np.random.default_rng(seed)
     aug_rng = np.random.default_rng((seed, process_index))
+    # window-shuffle draws come from their own stream so enabling grouping
+    # does not shift the shared order/task stream
+    group_rng = np.random.default_rng((seed, 0x67726F75))
     per = batch_size // process_count
     lo, hi = process_index * per, (process_index + 1) * per
     epoch = 0
@@ -126,10 +145,15 @@ def calm_batch_iterator(
         if not orders:
             return
         cursors = {k: 0 for k in orders}
+        # length grouping state: sorted-window batches queued per task, plus
+        # the (< batch_size) leftover of each window carried into the next
+        # so corrupt-skip raggedness never drops mid-epoch examples
+        pending = {k: [] for k in orders}
+        carry = {k: [] for k in orders}
         while True:
             avail = [
                 k for k in orders
-                if cursors[k] + batch_size <= len(orders[k])
+                if pending[k] or cursors[k] + batch_size <= len(orders[k])
             ]
             if not avail:
                 break
@@ -153,6 +177,30 @@ def calm_batch_iterator(
                             mode=task,
                         )
                     examples.append(ex)
+            elif length_group_window > 0:
+                if not pending[task]:
+                    want = batch_size * length_group_window
+                    window = carry[task]
+                    carry[task] = []
+                    while (len(window) < want
+                           and cursors[task] < len(orders[task])):
+                        ex = dataset.get(task, orders[task][cursors[task]])
+                        cursors[task] += 1
+                        if ex is not None:
+                            window.append(ex)
+                    window.sort(key=lambda e: len(e.audio))  # stable
+                    n_full = len(window) - len(window) % batch_size
+                    groups = [window[i: i + batch_size]
+                              for i in range(0, n_full, batch_size)]
+                    carry[task] = window[n_full:]
+                    # reshuffle batch order so short batches aren't always
+                    # first within a window (keeps SGD length-unbiased at
+                    # window granularity)
+                    group_rng.shuffle(groups)
+                    pending[task].extend(groups)
+                if not pending[task]:
+                    break
+                examples = pending[task].pop(0)
             else:
                 examples = []
                 while (len(examples) < batch_size

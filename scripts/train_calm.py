@@ -286,6 +286,7 @@ def main(argv=None):
             task_prob_tts=d.task_prob_tts, training=True,
             seed=t.seed + 1_000_003 * start_step,
             audio_buckets=d.audio_buckets,
+            length_group_window=d.length_group_window,
             process_index=jax.process_index(), process_count=n_proc,
         ))
 

@@ -290,3 +290,96 @@ def test_sharded_corpus_processing_merges_transcripts(corpus, tmp_path):
     assert sorted(line.split(" ", 1)[0] for line in lines) == sorted(
         f"1-2-{i:04d}" for i in range(5)
     )
+
+
+class _LenDataset:
+    """In-memory CalmDataset stand-in with controlled audio lengths (and
+    optional corrupt indices that .get returns None for)."""
+
+    def __init__(self, tts_lens=(), asr_lens=(), max_text_len=16,
+                 max_audio_len=64, corrupt=()):
+        self.max_text_len = max_text_len
+        self.max_audio_len = max_audio_len
+        self.tts_items = list(tts_lens)
+        self.asr_items = list(asr_lens)
+        self.corrupt = set(corrupt)
+
+    def get(self, mode, idx):
+        if (mode, idx) in self.corrupt:
+            return None
+        L = (self.tts_items if mode == "tts" else self.asr_items)[idx]
+        from audio_calm_tpu.data.datasets import CalmExample
+
+        return CalmExample(
+            input_ids=np.asarray([idx + 1], np.int32),
+            labels=np.asarray([-100 if mode == "tts" else idx], np.int32),
+            audio=np.full((L, 4), idx + 1, np.float32),
+            mode=mode,
+        )
+
+
+def test_length_grouped_batches_concentrate_buckets():
+    """length_group_window sorts windows by audio length so batches land in
+    the smallest fitting bucket: padded-frame total drops vs the random
+    order, every example is still seen exactly once per epoch, and the
+    run is seed-deterministic."""
+    rng = np.random.default_rng(3)
+    lens = [int(x) for x in rng.integers(4, 65, size=64)]
+    buckets = [16, 32, 48, 64]
+
+    def run(window):
+        ds = _LenDataset(tts_lens=lens)
+        seen, padded = [], 0
+        for b in calm_batch_iterator(
+            ds, batch_size=4, pad_token_id=0, latent_dim=4,
+            task_prob_tts=1.0, training=False, seed=0, epochs=1,
+            audio_buckets=buckets, length_group_window=window,
+        ):
+            seen.extend(int(i) for i in b["text_ids"][:, 0] - 1)
+            padded += b["latents"].shape[0] * b["latents"].shape[1]
+        return seen, padded
+
+    seen_r, padded_random = run(0)
+    seen_g, padded_grouped = run(4)
+    # exact one-epoch coverage either way
+    assert sorted(seen_r) == sorted(seen_g) == list(range(64))
+    # grouping is a strict padded-compute win on mixed lengths
+    assert padded_grouped < padded_random, (padded_grouped, padded_random)
+    # per-batch rows actually fit their bucket
+    seen_g2, padded_g2 = run(4)
+    assert seen_g2 == seen_g and padded_g2 == padded_grouped  # deterministic
+
+
+def test_length_grouped_carries_corrupt_raggedness():
+    """Corrupt rows are skipped; the <batch_size window leftover carries
+    into the next window instead of being dropped, so only the final
+    ragged tail of the epoch is lost (same contract as ungrouped)."""
+    lens = list(range(4, 44))  # 40 items
+    corrupt = {("tts", 5), ("tts", 17), ("tts", 30)}
+    ds = _LenDataset(tts_lens=lens, corrupt=corrupt)
+    seen = []
+    for b in calm_batch_iterator(
+        ds, batch_size=4, pad_token_id=0, latent_dim=4, task_prob_tts=1.0,
+        training=False, seed=1, epochs=1, audio_buckets=[16, 32, 48, 64],
+        length_group_window=3,
+    ):
+        assert b["latents"].shape[0] == 4
+        seen.extend(int(i) for i in b["text_ids"][:, 0] - 1)
+    valid = 40 - len(corrupt)  # 37 -> 9 full batches, 1-row tail dropped
+    assert len(seen) == (valid // 4) * 4
+    assert len(set(seen)) == len(seen)
+    assert not {i for _, i in corrupt} & set(seen)
+
+
+def test_length_grouped_keeps_task_stream():
+    """Grouping reorders rows WITHIN a task; the per-batch Bernoulli task
+    sequence is identical to the ungrouped iterator for the same seed."""
+    def tasks(window):
+        ds = _LenDataset(tts_lens=[8] * 24, asr_lens=[8] * 24)
+        return [b["task"] for b in calm_batch_iterator(
+            ds, batch_size=4, pad_token_id=0, latent_dim=4,
+            task_prob_tts=0.5, training=False, seed=7, epochs=1,
+            length_group_window=window,
+        )]
+
+    assert tasks(2) == tasks(0)
