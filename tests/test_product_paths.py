@@ -80,3 +80,26 @@ def test_eval_calm_uses_hifigan_when_configured(tmp_path, capsys):
     # HiFi-GAN output length = latent_frames * 4 (VAE) * 256 (total upsample);
     # Griffin-Lim's iSTFT path would give (frames-1)*256 instead
     assert n > 0 and n % 1024 == 0, n
+
+
+def test_bench_train_cli_smoke(capsys):
+    """scripts/bench_train.py: one JSON line per measured geometry with the
+    throughput fields (the reproducible form of BASELINE.md's train-step
+    tables; reference counterpart is the thop probe of train_calm.py:521)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import bench_train
+
+    rc = bench_train.main([
+        "--task", "vae", "--cpu", "--batch", "2", "--crop", "32",
+        "--steps", "1",
+    ])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 1
+    r = lines[0]
+    assert r["task"] == "vae" and r["crop"] == 32
+    assert r["step_min_s"] > 0 and r["samples_per_s"] > 0

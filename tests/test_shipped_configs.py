@@ -87,3 +87,18 @@ def test_shipped_serving_compute_dtype():
         resolve_compute_dtype(cfg.evaluation.compute_dtype)
     asr = load_config("configs/asr.yaml", cls=CALMConfig)
     assert asr.evaluation.compute_dtype == "float32"
+
+
+def test_shipped_training_uses_length_grouped_buckets():
+    """The training configs ship the measured bucketed-batch recipe:
+    a bucket ladder topping out at max_audio_len plus a length-group
+    window (without which random batch order drags ~every batch to the
+    top bucket and the ladder wins nothing — BASELINE.md "Bucketed
+    training")."""
+    for name in ("configs/asr.yaml", "configs/calm.yaml",
+                 "configs/tts.yaml"):
+        cfg = load_config(name, cls=CALMConfig)
+        d = cfg.data
+        assert d.audio_buckets == sorted(d.audio_buckets), name
+        assert d.audio_buckets[-1] == d.max_audio_len, name
+        assert d.length_group_window >= 8, name
