@@ -261,6 +261,14 @@ class DataConfig:
     # measured recipe (BASELINE.md). Single-host only (multi-host ignores
     # buckets and grouping to keep processes lock-stepped).
     length_group_window: int = 0
+    # ASR LLM-prompt pad width: the ASR text prompt is a CONSTANT ~20
+    # tokens ("Transcribe audio to text embedding." ChatML), yet the
+    # reference pads it to max_text_len=96 inside the [audio|SOA|prompt]
+    # LLM sequence. Padding to 32 instead cuts 64 dead tokens from every
+    # ASR row — bit-exact (pad prompt tokens are attention-masked out;
+    # tests assert loss equality), labels/flow queries stay max_text_len.
+    # None = reference behavior (pad to max_text_len).
+    asr_text_pad: Optional[int] = None
     # VAE training data
     data_dir: Optional[str] = None
     eval_data_dir: Optional[str] = None

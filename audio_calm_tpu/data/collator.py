@@ -40,16 +40,23 @@ def collate_calm(
     latent_dim: int,
     training: bool = False,
     rng: Optional[np.random.Generator] = None,
+    text_pad: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """-> static-shape batch dict (channels-last audio [B, T, D])."""
+    """-> static-shape batch dict (channels-last audio [B, T, D]).
+
+    text_pad: optional LLM-prompt width for text_ids/attention_mask
+    (labels always pad to max_text_len — they size the flow-head query
+    grid, not the LLM sequence). Used for ASR batches, whose prompt is a
+    constant ~20 tokens (see DataConfig.asr_text_pad)."""
     B = len(examples)
-    text_ids = np.full((B, max_text_len), pad_token_id, np.int32)
+    t_txt = text_pad if text_pad is not None else max_text_len
+    text_ids = np.full((B, t_txt), pad_token_id, np.int32)
     labels = np.full((B, max_text_len), -100, np.int32)
     audio = np.zeros((B, max_audio_len, latent_dim), np.float32)
-    attention_mask = np.zeros((B, max_text_len), np.int32)
+    attention_mask = np.zeros((B, t_txt), np.int32)
     audio_mask = np.zeros((B, max_audio_len), np.int32)
     for i, ex in enumerate(examples):
-        ids = ex.input_ids[:max_text_len]
+        ids = ex.input_ids[:t_txt]
         text_ids[i, : len(ids)] = ids
         attention_mask[i, : len(ids)] = 1
         lab = ex.labels[:max_text_len]
@@ -79,6 +86,7 @@ def calm_batch_iterator(
     epochs: Optional[int] = None,
     audio_buckets: Optional[List[int]] = None,
     length_group_window: int = 0,
+    asr_text_pad: Optional[int] = None,
     process_index: int = 0,
     process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
@@ -125,6 +133,14 @@ def calm_batch_iterator(
         length_group_window = 0
     if audio_buckets:
         audio_buckets = sorted(audio_buckets)
+    # ASR prompt width: the prompt is the constant asr_prompt_ids, so the
+    # width is content-independent (multi-host safe) — never narrower than
+    # the prompt itself, so nothing is ever truncated
+    if asr_text_pad is not None:
+        asr_text_pad = min(
+            dataset.max_text_len,
+            max(int(asr_text_pad), len(dataset.asr_prompt_ids)),
+        )
     # order/task draws come from `rng` and are identical on every process;
     # SpecAugment uses a separate per-process stream so augmentation cannot
     # desynchronize the shared order stream
@@ -221,6 +237,7 @@ def calm_batch_iterator(
             batch = collate_calm(
                 examples, pad_token_id, dataset.max_text_len,
                 t_aud, latent_dim, training=training, rng=aug_rng,
+                text_pad=asr_text_pad if task == "asr" else None,
             )
             batch["task"] = task  # host-side routing key (not a device array)
             yield batch

@@ -36,6 +36,9 @@ def main(argv=None):
                    help="size down the Qwen2 backbone (default: flagship 28)")
     p.add_argument("--frozen-dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--text-pad", type=int, default=None,
+                   help="LLM prompt width (asr: data.asr_text_pad recipe; "
+                        "default max_text_len)")
     p.add_argument("--crop", type=int, default=256,
                    help="vae task: mel crop frames")
     p.add_argument("--cpu", action="store_true")
@@ -137,12 +140,13 @@ def main(argv=None):
     frozen_sd = jax.tree.map(lambda a: sd(a.shape, a.dtype), frozen)
 
     rng = jax.random.PRNGKey(1)
+    t_txt = args.text_pad or m.max_text_len
     for t_aud in [int(x) for x in args.buckets.split(",")]:
         npr = np.random.default_rng(t_aud)
         batch = {
             "text_ids": jnp.asarray(
-                npr.integers(1, 1000, (B, m.max_text_len)), jnp.int32),
-            "attention_mask": jnp.ones((B, m.max_text_len), jnp.int32),
+                npr.integers(1, 1000, (B, t_txt)), jnp.int32),
+            "attention_mask": jnp.ones((B, t_txt), jnp.int32),
             "latents": jnp.asarray(
                 npr.normal(size=(B, t_aud, m.latent_dim)).astype(np.float32)),
             "audio_mask": jnp.ones((B, t_aud), jnp.int32),
@@ -171,6 +175,7 @@ def main(argv=None):
         tmin = min(times)
         rec = {
             "task": args.task, "batch": B, "microbatch": K, "t_aud": t_aud,
+            "text_pad": t_txt,
             "step_min_s": round(tmin, 4),
             "step_mean_s": round(sum(times) / len(times), 4),
             "samples_per_s": round(B / tmin, 1),

@@ -297,6 +297,7 @@ def main(argv=None):
             seed=t.seed + 1_000_003 * start_step,
             audio_buckets=d.audio_buckets,
             length_group_window=d.length_group_window,
+            asr_text_pad=d.asr_text_pad,
             process_index=jax.process_index(), process_count=n_proc,
         ))
 

@@ -146,3 +146,39 @@ def test_component_names_match_reference_layout(model_and_params):
         "tts_len_predictor", "tts_dur_predictor",
     }
     assert expected <= top, expected - top
+
+
+def test_asr_loss_invariant_to_prompt_pad_width(model_and_params):
+    """The asr_text_pad contract: ASR loss is BIT-EXACT under the LLM
+    prompt pad width (pad prompt tokens are attention-masked out and the
+    audio context is hidden[:, :T_aud]). Guards data.asr_text_pad
+    shipping different numerics than the reference's max_text_len pad."""
+    model, _, batch = model_and_params
+    rng = np.random.default_rng(5)
+    B = batch["text_ids"].shape[0]
+    prompt = rng.integers(1, 256, 7)
+    labels = np.full((B, 12), -100, np.int32)
+    labels[0, :6] = rng.integers(1, 256, 6)
+    labels[1, :4] = rng.integers(1, 256, 4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        batch["text_ids"], batch["attention_mask"], batch["latents"],
+        batch["audio_mask"], jnp.asarray(labels), train=False,
+        method=QwenCALM.forward_asr,
+    )
+
+    def run(width):
+        ids = np.zeros((B, width), np.int32)
+        mask = np.zeros((B, width), np.int32)
+        ids[:, :7] = prompt
+        mask[:, :7] = 1
+        out = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(mask),
+            batch["latents"], batch["audio_mask"], jnp.asarray(labels),
+            train=False, rngs={"flow": jax.random.PRNGKey(3)},
+            method=QwenCALM.forward_asr,
+        )
+        return float(out["loss"])
+
+    assert run(8) == run(12)

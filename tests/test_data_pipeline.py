@@ -383,3 +383,42 @@ def test_length_grouped_keeps_task_stream():
         )]
 
     assert tasks(2) == tasks(0)
+
+
+def test_asr_text_pad_narrows_prompt_only(corpus, tmp_path):
+    """asr_text_pad narrows the ASR LLM prompt width (constant ~20-token
+    prompt; the reference pads it to max_text_len inside the 481-token
+    sequence) while labels keep max_text_len (they size the flow-head
+    query grid). TTS batches are untouched, and the width never drops
+    below the prompt itself."""
+    in_root = str(corpus / "raw")
+    out_root = str(tmp_path / "mels")
+    CorpusProcessor(batch_size=4).process_corpus(
+        scan_audio_files(in_root), out_root, in_root,
+        text_resolver=librispeech_text,
+    )
+    ds = CalmDataset(
+        StubTok(), asr_latent_dir=out_root, asr_subsets="dev-clean",
+        tts_latent_dir=out_root, tts_subsets="dev-clean",
+        max_text_len=64, max_audio_len=64, task_mode="mix",
+    )
+    P = len(ds.asr_prompt_ids)
+    for b in calm_batch_iterator(
+        ds, batch_size=2, pad_token_id=0, latent_dim=80, task_prob_tts=0.5,
+        training=False, seed=0, epochs=1, asr_text_pad=32,
+    ):
+        if b["task"] == "asr":
+            assert b["text_ids"].shape[1] == max(32, P)
+            assert b["attention_mask"].shape == b["text_ids"].shape
+            assert b["labels"].shape[1] == 64  # flow grid keeps max_text_len
+            # prompt fully present
+            assert (b["text_ids"][:, :P] == ds.asr_prompt_ids).all()
+        else:
+            assert b["text_ids"].shape[1] == 64
+
+    # a pad narrower than the prompt is clamped up, never truncating
+    b = next(iter(calm_batch_iterator(
+        ds, batch_size=2, pad_token_id=0, latent_dim=80, task_prob_tts=0.0,
+        training=False, seed=0, epochs=1, asr_text_pad=4,
+    )))
+    assert b["text_ids"].shape[1] == max(4, P) >= P
