@@ -49,6 +49,12 @@ def _coerce(value: Any, typ: Any) -> Any:
         pass
     if dataclasses.is_dataclass(typ):
         return from_dict(typ, value)
+    # a null for a non-Optional scalar would smuggle None into an int/float
+    # field and surface as a TypeError deep inside training — reject it here
+    if value is None and typ in (bool, int, float, str):
+        raise ValueError(
+            f"null is not allowed for this non-Optional {typ.__name__} field"
+        )
     if typ is bool:
         if isinstance(value, bool):
             return value
@@ -81,7 +87,10 @@ def from_dict(cls, data: Optional[Dict[str, Any]]):
         )
     kwargs = {}
     for name, value in data.items():
-        kwargs[name] = _coerce(value, _resolve_type(cls, name))
+        try:
+            kwargs[name] = _coerce(value, _resolve_type(cls, name))
+        except ValueError as e:
+            raise ValueError(f"{cls.__name__}.{name}: {e}") from None
     return cls(**kwargs)
 
 

@@ -166,6 +166,7 @@ def calm_batch_iterator(
         # so corrupt-skip raggedness never drops mid-epoch examples
         pending = {k: [] for k in orders}
         carry = {k: [] for k in orders}
+        yielded = False
         while True:
             avail = [
                 k for k in orders
@@ -240,7 +241,17 @@ def calm_batch_iterator(
                 text_pad=asr_text_pad if task == "asr" else None,
             )
             batch["task"] = task  # host-side routing key (not a device array)
+            yielded = True
             yield batch
+        if training and not yielded:
+            # batch counts don't change across epochs, so a zero-batch epoch
+            # would repeat forever (a 100%-CPU spin with epochs=None)
+            raise ValueError(
+                f"no full batch can be formed: dataset has "
+                f"{len(dataset.tts_items)} tts + {len(dataset.asr_items)} asr "
+                f"items but (global) batch_size={batch_size}; reduce the "
+                f"batch size or add data"
+            )
         epoch += 1
         if not training:
             return
@@ -269,6 +280,7 @@ def mel_batch_iterator(
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(len(dataset))
+        yielded = False
         for i in range(0, len(order) - batch_size + 1, batch_size):
             mels = []
             for j in order[i : i + batch_size][lo:hi]:
@@ -284,7 +296,15 @@ def mel_batch_iterator(
                     continue
             if len(mels) < (hi - lo):
                 continue
+            yielded = True
             yield {"mel": np.stack(mels)}
+        if training and not yielded:
+            # see calm_batch_iterator: a zero-batch epoch repeats forever
+            raise ValueError(
+                f"no full batch can be formed: dataset has {len(dataset)} "
+                f"items but (global) batch_size={batch_size}; reduce the "
+                f"batch size or add data"
+            )
         epoch += 1
         if not training:
             return

@@ -272,6 +272,7 @@ def main(argv=None):
                     eval_ds, eval_bs, tokenizer.pad_token_id or 0,
                     m.latent_dim, task_prob_tts=d.task_prob_tts,
                     training=False, seed=0, epochs=1,
+                    asr_text_pad=d.asr_text_pad,
                     process_index=jax.process_index(), process_count=n_proc,
                 )
                 for i, b in enumerate(it):

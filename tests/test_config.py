@@ -65,3 +65,24 @@ data:
     assert cfg.model.lora.rank == 16
     assert cfg.data.datasets["asr"].latent_dir == "/tmp/x"
     assert cfg.model.latent_mean == [0.1, 0.2]
+
+
+def test_null_rejected_for_non_optional_scalars(tmp_path):
+    """`=null` on a non-Optional int/float/str/bool field must raise with
+    the field path, not smuggle None through (a None in e.g.
+    data.length_group_window surfaced as a TypeError deep inside the batch
+    iterator). Optional fields still accept null."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("{}\n")
+    with pytest.raises(ValueError, match="length_group_window.*null"):
+        load_config(str(p), cls=CALMConfig,
+                    overrides=["data.length_group_window=null"])
+    with pytest.raises(ValueError, match="microbatch_steps"):
+        load_config(str(p), cls=CALMConfig,
+                    overrides=["training.microbatch_steps=null"])
+    # Optional fields keep accepting null
+    cfg = load_config(str(p), cls=CALMConfig,
+                      overrides=["model.qwen_path=null",
+                                 "data.audio_buckets=null"])
+    assert cfg.model.qwen_path is None
+    assert cfg.data.audio_buckets is None

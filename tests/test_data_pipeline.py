@@ -422,3 +422,52 @@ def test_asr_text_pad_narrows_prompt_only(corpus, tmp_path):
         training=False, seed=0, epochs=1, asr_text_pad=4,
     )))
     assert b["text_ids"].shape[1] == max(4, P) >= P
+
+
+def test_training_iterator_raises_when_dataset_smaller_than_batch():
+    """A training run (epochs=None) whose dataset can't fill one global
+    batch must raise, not busy-spin forever re-drawing empty epochs (this
+    hung a real train_calm.py run: 6 items, global batch 8, 100% CPU)."""
+    import pytest
+
+    ds = _LenDataset(asr_lens=[8] * 6)
+    it = calm_batch_iterator(
+        ds, batch_size=8, pad_token_id=0, latent_dim=4, task_prob_tts=0.5,
+        training=True, seed=0, epochs=None,
+    )
+    with pytest.raises(ValueError, match="no full batch"):
+        next(it)
+
+    # grouped path spins the same way without the guard
+    it = calm_batch_iterator(
+        ds, batch_size=8, pad_token_id=0, latent_dim=4, task_prob_tts=0.5,
+        training=True, seed=0, epochs=None, length_group_window=4,
+    )
+    with pytest.raises(ValueError, match="no full batch"):
+        next(it)
+
+    # eval (training=False) still terminates quietly after one empty epoch
+    assert list(calm_batch_iterator(
+        ds, batch_size=8, pad_token_id=0, latent_dim=4, task_prob_tts=0.5,
+        training=False, seed=0, epochs=1,
+    )) == []
+
+
+def test_mel_training_iterator_raises_when_dataset_smaller_than_batch():
+    import pytest
+
+    class _TinyMels:
+        crop_size = 16
+
+        def __len__(self):
+            return 3
+
+        def get(self, idx, rng=None):
+            return np.zeros((16, 80), np.float32)
+
+    it = mel_batch_iterator(_TinyMels(), batch_size=8, training=True,
+                            seed=0, epochs=None)
+    with pytest.raises(ValueError, match="no full batch"):
+        next(it)
+    assert list(mel_batch_iterator(_TinyMels(), batch_size=8,
+                                   training=False, seed=0, epochs=1)) == []
