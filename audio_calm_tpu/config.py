@@ -278,6 +278,20 @@ class DataConfig:
     # tests assert loss equality), labels/flow queries stay max_text_len.
     # None = reference behavior (pad to max_text_len).
     asr_text_pad: Optional[int] = None
+    # ASR sequence packing: pack several [audio|SOA|prompt] segments into
+    # each LLM row (block-diagonal attention + per-segment RoPE positions;
+    # exact — the flow head still sees each utterance solo). Removes BOTH
+    # pad wastes at once: no bucket quantization of audio lengths and no
+    # prompt pad at all (the constant prompt rides unpadded). 0 = off;
+    # asr_pack_rows is the number of packed rows per GLOBAL batch (the
+    # packed analogue of batch_size; must divide by data-parallel devices
+    # x microbatch_steps). Single-host only, like buckets/grouping.
+    asr_pack_rows: int = 0
+    # tokens per packed row (>= max_audio_len + 1 + prompt length so the
+    # longest utterance fits; 512 is MXU-friendly for the 384-frame grid)
+    asr_pack_len: int = 512
+    # max utterances per packed row (sizes the static per-row slot arrays)
+    asr_pack_segments: int = 4
     # VAE training data
     data_dir: Optional[str] = None
     eval_data_dir: Optional[str] = None

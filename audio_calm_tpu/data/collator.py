@@ -11,7 +11,7 @@ reference train_calm.py:184-191.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional  # noqa: F401
+from typing import Dict, Iterator, List, Optional, Tuple  # noqa: F401
 
 import numpy as np
 
@@ -75,6 +75,100 @@ def collate_calm(
     }
 
 
+def pack_asr_window(
+    examples: List[CalmExample],
+    prompt_ids: np.ndarray,
+    rows: int,
+    row_len: int,
+    segments: int,
+    seg_frames: int,
+    latent_dim: int,
+    max_text_len: int,
+    training: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Dict[str, np.ndarray], List[int]]:
+    """First-fit-decreasing pack of ASR examples into `rows` LLM rows.
+
+    Each packed segment is [audio (exact length) | SOA | prompt] — no pad
+    tokens between segments, the constant prompt rides unpadded. Returns
+    (batch, leftover_indices): the static packed batch consumed by
+    QwenCALM.forward_asr_packed, and indices of examples that did not fit
+    (carried into the next window by the iterator). Index arrays are
+    row-local so any row subset (data-parallel shard, microbatch slice) is
+    self-contained.
+    """
+    P = len(prompt_ids)
+    if row_len < seg_frames + 1 + P:
+        raise ValueError(
+            f"asr_pack_len={row_len} cannot fit a max-length segment "
+            f"({seg_frames} frames + SOA + {P}-token prompt)"
+        )
+    order = sorted(
+        range(len(examples)), key=lambda i: -len(examples[i].audio)
+    )
+    caps = [row_len] * rows
+    counts = [0] * rows
+    assign: List[List[int]] = [[] for _ in range(rows)]
+    leftover: List[int] = []
+    for i in order:
+        n = min(len(examples[i].audio), seg_frames)
+        cost = n + 1 + P
+        for r in range(rows):
+            if counts[r] < segments and caps[r] >= cost:
+                assign[r].append(i)
+                caps[r] -= cost
+                counts[r] += 1
+                break
+        else:
+            leftover.append(i)
+
+    latents = np.zeros((rows, segments, seg_frames, latent_dim), np.float32)
+    latent_mask = np.zeros((rows, segments, seg_frames), np.int32)
+    labels = np.full((rows, segments, max_text_len), -100, np.int32)
+    tok_ids = np.zeros((rows, row_len), np.int32)
+    kind = np.zeros((rows, row_len), np.int32)
+    # default gathers point at the appended zero slot (S*L / row_len)
+    gather_idx = np.full((rows, row_len), segments * seg_frames, np.int32)
+    segment_ids = np.zeros((rows, row_len), np.int32)
+    position_ids = np.zeros((rows, row_len), np.int32)
+    ctx_idx = np.full((rows, segments, seg_frames), row_len, np.int32)
+
+    for r, idxs in enumerate(assign):
+        t = 0
+        for s, i in enumerate(idxs):
+            ex = examples[i]
+            a = ex.audio[:seg_frames]
+            if training and rng is not None:
+                a = spec_augment(a, rng)
+            n = len(a)
+            latents[r, s, :n] = a
+            latent_mask[r, s, :n] = 1
+            lab = ex.labels[:max_text_len]
+            labels[r, s, : len(lab)] = lab
+            kind[r, t : t + n] = 1
+            gather_idx[r, t : t + n] = s * seg_frames + np.arange(n)
+            ctx_idx[r, s, :n] = t + np.arange(n)
+            segment_ids[r, t : t + n + 1 + P] = s + 1
+            position_ids[r, t : t + n + 1 + P] = np.arange(n + 1 + P)
+            kind[r, t + n] = 2
+            kind[r, t + n + 1 : t + n + 1 + P] = 3
+            tok_ids[r, t + n + 1 : t + n + 1 + P] = prompt_ids
+            t += n + 1 + P
+
+    batch = {
+        "latents": latents,
+        "latent_mask": latent_mask,
+        "labels": labels,
+        "tok_ids": tok_ids,
+        "kind": kind,
+        "gather_idx": gather_idx,
+        "segment_ids": segment_ids,
+        "position_ids": position_ids,
+        "ctx_idx": ctx_idx,
+    }
+    return batch, leftover
+
+
 def calm_batch_iterator(
     dataset: CalmDataset,
     batch_size: int,
@@ -87,6 +181,9 @@ def calm_batch_iterator(
     audio_buckets: Optional[List[int]] = None,
     length_group_window: int = 0,
     asr_text_pad: Optional[int] = None,
+    asr_pack_rows: int = 0,
+    asr_pack_len: int = 512,
+    asr_pack_segments: int = 4,
     process_index: int = 0,
     process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
@@ -128,9 +225,11 @@ def calm_batch_iterator(
                 f"global batch {batch_size} not divisible by "
                 f"{process_count} processes"
             )
-        # bucket/window choices would depend on rows other processes hold
+        # bucket/window/packing choices would depend on rows other
+        # processes hold
         audio_buckets = None
         length_group_window = 0
+        asr_pack_rows = 0
     if audio_buckets:
         audio_buckets = sorted(audio_buckets)
     # ASR prompt width: the prompt is the constant asr_prompt_ids, so the
@@ -166,12 +265,21 @@ def calm_batch_iterator(
         # so corrupt-skip raggedness never drops mid-epoch examples
         pending = {k: [] for k in orders}
         carry = {k: [] for k in orders}
+        pack_carry: List[CalmExample] = []  # packed-ASR window leftovers
         yielded = False
+
+        def _avail(k):
+            if k == "asr" and asr_pack_rows > 0:
+                # a pool of >= rows utterances fills every row at least
+                # once; the < rows epoch tail drops (same contract as the
+                # < batch_size tail below)
+                return bool(pack_carry) or (
+                    cursors[k] + asr_pack_rows <= len(orders[k])
+                )
+            return pending[k] or cursors[k] + batch_size <= len(orders[k])
+
         while True:
-            avail = [
-                k for k in orders
-                if pending[k] or cursors[k] + batch_size <= len(orders[k])
-            ]
+            avail = [k for k in orders if _avail(k)]
             if not avail:
                 break
             if "tts" in avail and (
@@ -180,6 +288,36 @@ def calm_batch_iterator(
                 task = "tts"
             else:
                 task = "asr"
+            if task == "asr" and asr_pack_rows > 0:
+                # sequence packing: draw a pool, FFD-pack into static rows,
+                # carry what didn't fit into the next window (tail pools at
+                # epoch end are emitted underfull rather than dropped)
+                want = asr_pack_rows * asr_pack_segments
+                pool = pack_carry
+                pack_carry = []
+                while (len(pool) < want
+                       and cursors[task] < len(orders[task])):
+                    ex = dataset.get(task, orders[task][cursors[task]])
+                    cursors[task] += 1
+                    if ex is not None:
+                        pool.append(ex)
+                if not pool:
+                    continue
+                batch, left = pack_asr_window(
+                    pool, dataset.asr_prompt_ids, asr_pack_rows,
+                    asr_pack_len, asr_pack_segments,
+                    dataset.max_audio_len, latent_dim,
+                    dataset.max_text_len,
+                    training=training, rng=aug_rng,
+                )
+                pack_carry = [pool[i] for i in left]
+                batch["task"] = "asr_packed"
+                # true utterance count for samples/sec accounting (the
+                # leading dim is packed ROWS, not samples)
+                batch["n_samples"] = len(pool) - len(left)
+                yielded = True
+                yield batch
+                continue
             if process_count > 1:
                 idxs = orders[task][cursors[task] : cursors[task] + batch_size]
                 cursors[task] += batch_size

@@ -294,7 +294,21 @@ class QwenCALM(nn.Module):
         )
         hidden = self._llm_encode(inp, full_mask, train)
         audio_context = hidden[:, :T_aud, :]
+        return self._asr_condition_and_loss(
+            audio_context, audio_mask, labels, train
+        )
 
+    def _asr_condition_and_loss(
+        self,
+        audio_context: jnp.ndarray,  # [B, T_ctx, D] LLM hidden over audio
+        audio_mask: jnp.ndarray,  # [B, T_ctx] 1 = valid
+        labels: jnp.ndarray,  # [B, T_text] target ids, -100 = ignore
+        train: bool,
+    ) -> Dict[str, jnp.ndarray]:
+        """Positional-query cross-attn + flow loss (the per-utterance tail
+        shared by forward_asr and forward_asr_packed)."""
+        c = self.cfg
+        B = audio_context.shape[0]
         valid_target = labels != -100
         safe_ids = jnp.where(valid_target, labels, 0)
         target_embs = self.embed(safe_ids)
@@ -331,6 +345,67 @@ class QwenCALM(nn.Module):
             train=train,
         )
         return {"loss": asr_loss * c.asr_loss_weight, "loss_asr": asr_loss}
+
+    def forward_asr_packed(
+        self,
+        latents: jnp.ndarray,  # [R, S, L, latent_dim] per-slot raw latents
+        latent_mask: jnp.ndarray,  # [R, S, L] 1 = valid frame
+        labels: jnp.ndarray,  # [R, S, T_text] target ids, -100 = ignore
+        tok_ids: jnp.ndarray,  # [R, T_pack] prompt ids at prompt positions
+        kind: jnp.ndarray,  # [R, T_pack] 0 pad / 1 audio / 2 SOA / 3 prompt
+        gather_idx: jnp.ndarray,  # [R, T_pack] into the row's S*L embeds (S*L = zero)
+        segment_ids: jnp.ndarray,  # [R, T_pack] 1..S, 0 = pad
+        position_ids: jnp.ndarray,  # [R, T_pack] within-segment positions
+        ctx_idx: jnp.ndarray,  # [R, S, L] into the row's T_pack hidden (T_pack = zero)
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Packed-sequence ASR training: several [audio|SOA|prompt] segments
+        share one LLM row under block-diagonal attention with per-segment
+        RoPE positions, then each utterance's hidden states gather back out
+        for the per-utterance cross-attn + flow loss. Numerically equal to
+        forward_asr on each utterance solo (the projector runs on the
+        unpacked per-slot layout, so its causal convs never cross segment
+        boundaries; tests assert loss equality). Removes all pad compute
+        from the LLM — the reference pads every row to max grid
+        (train_calm.py:193-221). Batch layout: data/collator.pack_asr_window.
+        Per-row indices keep every gather local to its row, so rows shard
+        over data-parallel devices and slice into microbatches untouched.
+        """
+        c = self.cfg
+        R, S, L, D = latents.shape
+        H = c.qwen.hidden_size
+        gt = self.normalize_latents(latents.reshape(R * S, L, D))
+        audio_embeds = self.input_proj(gt).astype(self.dtype)  # (R*S, L, H)
+        flat = audio_embeds.reshape(R, S * L, H)
+        flat = jnp.concatenate([flat, jnp.zeros((R, 1, H), flat.dtype)], axis=1)
+        audio_part = jnp.take_along_axis(flat, gather_idx[..., None], axis=1)
+        tok = self.embed(tok_ids).astype(self.dtype)
+        soa = self.soa_embed.astype(self.dtype)
+        kindb = kind[..., None]
+        inp = (
+            jnp.where(kindb == 1, audio_part, 0)
+            + jnp.where(kindb == 2, soa, 0)
+            + jnp.where(kindb == 3, tok, 0)
+        )
+        hidden = self.llm(
+            inp,
+            attention_mask=(kind != 0).astype(jnp.int32),
+            position_ids=position_ids,
+            segment_ids=segment_ids,
+            train=train,
+        )
+        hflat = jnp.concatenate(
+            [hidden, jnp.zeros((R, 1, H), hidden.dtype)], axis=1
+        )
+        ctx = jnp.take_along_axis(
+            hflat, ctx_idx.reshape(R, S * L)[..., None], axis=1
+        )
+        return self._asr_condition_and_loss(
+            ctx.reshape(R * S, L, H),
+            latent_mask.reshape(R * S, L),
+            labels.reshape(R * S, labels.shape[-1]),
+            train,
+        )
 
     # ------------------------------------------------------------------
     # Inference-side helpers (full pipelines live in eval/)

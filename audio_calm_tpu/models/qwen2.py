@@ -206,6 +206,7 @@ class Qwen2Model(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,  # [B, T] 1 = valid
         position_ids: Optional[jnp.ndarray] = None,  # [B, T]
         train: bool = False,
+        segment_ids: Optional[jnp.ndarray] = None,  # [B, T] 0 = pad
     ) -> jnp.ndarray:
         c = self.cfg
         B, T, _ = inputs_embeds.shape
@@ -225,6 +226,15 @@ class Qwen2Model(nn.Module):
         causal = jnp.tril(jnp.ones((T, T), dtype=bool))
         pad = attention_mask.astype(bool)[:, None, None, :]  # keys valid
         mask = causal[None, None, :, :] & pad
+        # sequence packing: block-diagonal attention — a token attends only
+        # within its own segment (segment 0 = pad). The flash-attention
+        # opt-in only knows key validity, so packed rows take the sdpa path.
+        key_valid = attention_mask
+        if segment_ids is not None:
+            mask = mask & (
+                segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+            )
+            key_valid = None
 
         if self.remat_policy not in ("full", "dots", "none"):
             raise ValueError(
@@ -242,7 +252,7 @@ class Qwen2Model(nn.Module):
             )
         for i in range(c.num_hidden_layers):
             x = block(c, self.lora, name=f"layers_{i}")(
-                x, cos, sin, mask, train, attention_mask
+                x, cos, sin, mask, train, key_valid
             )
         return RMSNorm(c.rms_norm_eps, name="norm")(x)
 

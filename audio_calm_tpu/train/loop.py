@@ -136,7 +136,9 @@ def run_training(
         if step_idx >= total_steps:
             break
         fn = step_selector(batch) if step_selector else step_fn
-        window_samples += next(
+        # packed batches carry the true utterance count (their leading dim
+        # is packed rows, not samples)
+        window_samples += batch.get("n_samples") or next(
             (v.shape[0] for v in batch.values()
              if getattr(v, "ndim", 0) >= 1), 0
         )

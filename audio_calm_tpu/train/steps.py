@@ -58,7 +58,7 @@ def make_calm_step(
     optimizer update per step either way — numerics match a full batch up
     to the per-slice rng folds and fp accumulation order.
     """
-    assert task in ("tts", "asr")
+    assert task in ("tts", "asr", "asr_packed")
 
     def loss_fn(trainable, frozen, batch, rngs):
         params = merge_partitions(trainable, frozen)
@@ -68,6 +68,18 @@ def make_calm_step(
                 batch["text_ids"], batch["attention_mask"],
                 batch["latents"], batch["audio_mask"],
                 train=True, rngs=rngs, method=QwenCALM.forward_tts,
+            )
+        elif task == "asr_packed":
+            # packed-sequence ASR (collator.pack_asr_window layout): every
+            # array's leading axis is the packed ROW, so the generic
+            # microbatch split and data-axis sharding below apply unchanged
+            out = model.apply(
+                {"params": params},
+                batch["latents"], batch["latent_mask"], batch["labels"],
+                batch["tok_ids"], batch["kind"], batch["gather_idx"],
+                batch["segment_ids"], batch["position_ids"],
+                batch["ctx_idx"],
+                train=True, rngs=rngs, method=QwenCALM.forward_asr_packed,
             )
         else:
             out = model.apply(

@@ -156,15 +156,28 @@ def main(argv=None):
     tx = make_optimizer(t, trainable, label, total_steps)
     state = init_train_state(trainable, tx)
 
+    n_proc = jax.process_count()
+    # sequence packing replaces the bucketed ASR program (single-host only,
+    # like buckets/grouping — the collator disables it multi-host)
+    pack_asr = d.asr_pack_rows > 0 and n_proc == 1
+    if pack_asr:
+        need = mesh.shape["data"] * max(t.microbatch_steps, 1)
+        if d.asr_pack_rows % need:
+            raise ValueError(
+                f"data.asr_pack_rows={d.asr_pack_rows} must be divisible "
+                f"by data devices x microbatch_steps = {need}"
+            )
+
     steps = {}
     for task in ("tts", "asr"):
         if d.task_mode in (task, "mix"):
+            step_task = "asr_packed" if task == "asr" and pack_asr else task
             fn, state, frozen = shard_step(
-                make_calm_step(model, tx, task,
+                make_calm_step(model, tx, step_task,
                                microbatch=t.microbatch_steps),
                 mesh, state, frozen,
             )
-            steps[task] = fn
+            steps[step_task] = fn
 
     def step_selector(batch):
         return steps[batch["task"]]
@@ -185,39 +198,54 @@ def main(argv=None):
                    for task in steps}
     _flops_cache = {}
 
-    def _batch_sd(task, B, L, t_aud, label_len):
-        sd = jax.ShapeDtypeStruct
-        fake = dict(
-            text_ids=sd((B, L), jnp.int32),
-            attention_mask=sd((B, L), jnp.int32),
-            latents=sd((B, t_aud, m.latent_dim), jnp.float32),
-            audio_mask=sd((B, t_aud), jnp.int32),
-        )
-        if task == "asr":
-            fake["labels"] = sd((B, label_len), jnp.int32)
-        return fake
+    def _device_arrays(batch):
+        out = {k: v for k, v in batch.items()
+               if k not in ("task", "n_samples")}
+        if batch["task"] == "tts":
+            out.pop("labels", None)
+        return out
 
     def step_flops(batch):
         task = batch["task"]
-        B, L = batch["text_ids"].shape
-        t_aud = batch["latents"].shape[1]
-        label_len = (batch["labels"].shape[1]
-                     if task == "asr" and "labels" in batch else 0)
-        key = (task, B, L, t_aud, label_len)
+        arrs = _device_arrays(batch)
+        key = (task,) + tuple(
+            sorted((k, tuple(np.shape(v))) for k, v in arrs.items()))
         if key not in _flops_cache:
+            sd = {k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+                  for k, v in arrs.items()}
             _flops_cache[key] = lowered_flops(
-                probe_steps[task], state_sd, frozen_sd,
-                _batch_sd(task, B, L, t_aud, label_len), rng_sd)
+                probe_steps[task], state_sd, frozen_sd, sd, rng_sd)
         return _flops_cache[key]
+
+    def _fake_max_batch(task):
+        B, L, t_aud = global_bs, d.max_text_len, d.max_audio_len
+        if task == "asr_packed":
+            R, T, S = d.asr_pack_rows, d.asr_pack_len, d.asr_pack_segments
+            i32, f32 = np.int32, np.float32
+            return dict(
+                task=task,
+                latents=np.zeros((R, S, t_aud, m.latent_dim), f32),
+                latent_mask=np.zeros((R, S, t_aud), i32),
+                labels=np.zeros((R, S, L), i32),
+                tok_ids=np.zeros((R, T), i32),
+                kind=np.zeros((R, T), i32),
+                gather_idx=np.zeros((R, T), i32),
+                segment_ids=np.zeros((R, T), i32),
+                position_ids=np.zeros((R, T), i32),
+                ctx_idx=np.zeros((R, S, t_aud), i32),
+            )
+        return dict(
+            task=task,
+            text_ids=np.zeros((B, L), np.int32),
+            attention_mask=np.zeros((B, L), np.int32),
+            latents=np.zeros((B, t_aud, m.latent_dim), np.float32),
+            audio_mask=np.zeros((B, t_aud), np.int32),
+            labels=np.zeros((B, L), np.int32),
+        )
 
     peak = device_peak_flops()
     for task in steps:
-        fl = step_flops({
-            "task": task,
-            "text_ids": np.zeros((global_bs, d.max_text_len)),
-            "latents": np.zeros((global_bs, d.max_audio_len, 1)),
-            "labels": np.zeros((global_bs, d.max_text_len)),
-        })
+        fl = step_flops(_fake_max_batch(task))
         line = (f"{task} step: {fl / 1e12:.2f} TFLOPs at max grid"
                 if fl >= 1e11 else
                 f"{task} step: {fl / 1e9:.2f} GFLOPs at max grid")
@@ -226,12 +254,8 @@ def main(argv=None):
                      " TFLOP/s peak)")
         print(line)
 
-    n_proc = jax.process_count()
-
     def batch_filter(batch):
-        out = {k: v for k, v in batch.items() if k != "task"}
-        if batch["task"] == "tts":
-            out.pop("labels", None)
+        out = _device_arrays(batch)
         if n_proc > 1:
             # per-process shards -> global arrays on the data axis
             from audio_calm_tpu.parallel.mesh import shard_host_batch
@@ -260,9 +284,12 @@ def main(argv=None):
             task_mode=d.task_mode,
         )
         if len(eval_ds):
+            # eval always runs the unpacked forward (batches come from the
+            # plain iterator below), so map asr_packed -> asr
             eval_steps = {
                 task: jax.jit(make_calm_eval_step(model, task))
-                for task in steps
+                for task in {"asr" if s == "asr_packed" else s
+                             for s in steps}
             }
 
             def eval_fn(state):
@@ -299,6 +326,9 @@ def main(argv=None):
             audio_buckets=d.audio_buckets,
             length_group_window=d.length_group_window,
             asr_text_pad=d.asr_text_pad,
+            asr_pack_rows=d.asr_pack_rows if pack_asr else 0,
+            asr_pack_len=d.asr_pack_len,
+            asr_pack_segments=d.asr_pack_segments,
             process_index=jax.process_index(), process_count=n_proc,
         ))
 

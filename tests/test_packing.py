@@ -1,0 +1,339 @@
+"""ASR sequence packing: several [audio|SOA|prompt] segments per LLM row.
+
+The packed forward (QwenCALM.forward_asr_packed) must equal forward_asr run
+on each utterance solo — block-diagonal attention + per-segment RoPE
+positions make packing invisible to the model (the reference pads every row
+to the max grid instead, train/train_calm.py:193-221). The collator's
+pack_asr_window builds the static row-local index layout.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_calm_tpu.config import CALMModelConfig, LoRAConfig, Qwen2Config
+from audio_calm_tpu.data.collator import calm_batch_iterator, pack_asr_window
+from audio_calm_tpu.data.datasets import CalmExample
+from audio_calm_tpu.models.calm import QwenCALM
+
+PROMPT = np.asarray([5, 6, 7], np.int32)
+
+
+def _examples(lengths, latent_dim=8, label_lens=None, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i, L in enumerate(lengths):
+        n_lab = (label_lens or [4] * len(lengths))[i]
+        out.append(CalmExample(
+            input_ids=PROMPT.copy(),
+            labels=rng.integers(1, 200, (n_lab,)).astype(np.int32),
+            audio=rng.standard_normal((L, latent_dim)).astype(np.float32),
+            mode="asr",
+        ))
+    return out
+
+
+def test_pack_asr_window_layout_invariants():
+    """Every example lands in exactly one segment (or the leftover); rows
+    respect the token budget and segment cap; the gather/ctx index pairs
+    round-trip; positions restart per segment."""
+    exs = _examples([16, 4, 10, 7, 15, 3, 2, 12], seed=1)
+    rows, row_len, segs, L = 2, 60, 3, 16
+    batch, left = pack_asr_window(
+        exs, PROMPT, rows, row_len, segs, L, 8, max_text_len=6)
+    P = len(PROMPT)
+    packed = 0
+    for r in range(rows):
+        used = 0
+        for s in range(segs):
+            n = int(batch["latent_mask"][r, s].sum())
+            if n == 0:
+                continue
+            packed += 1
+            used += n + 1 + P
+            # the segment's audio frames sit contiguously in the row
+            ctx = batch["ctx_idx"][r, s, :n]
+            assert (np.diff(ctx) == 1).all()
+            assert (batch["kind"][r, ctx] == 1).all()
+            assert (batch["gather_idx"][r, ctx] == s * L + np.arange(n)).all()
+            # [audio | SOA | prompt] with within-segment positions
+            t0 = ctx[0]
+            assert batch["kind"][r, t0 + n] == 2
+            assert (batch["kind"][r, t0 + n + 1 : t0 + n + 1 + P] == 3).all()
+            assert (batch["tok_ids"][r, t0 + n + 1 : t0 + n + 1 + P]
+                    == PROMPT).all()
+            span = slice(t0, t0 + n + 1 + P)
+            assert (batch["segment_ids"][r, span] == s + 1).all()
+            assert (batch["position_ids"][r, span]
+                    == np.arange(n + 1 + P)).all()
+        assert used <= row_len
+        # pad region is fully zeroed metadata
+        pad = batch["segment_ids"][r] == 0
+        assert (batch["kind"][r, pad] == 0).all()
+    assert packed + len(left) == len(exs)
+    # FFD packs the window tightly: with 8 short examples and capacity for
+    # 6 segments the two longest-per-row fill first
+    assert packed == rows * segs
+    assert len(left) == 2
+
+
+def test_pack_rejects_too_small_rows():
+    with pytest.raises(ValueError, match="asr_pack_len"):
+        pack_asr_window(_examples([4]), PROMPT, 1, 10, 2, 16, 8, 6)
+
+
+@pytest.fixture(scope="module")
+def tiny_calm():
+    cfg = CALMModelConfig(
+        latent_dim=8,
+        max_audio_len=16,
+        max_text_len=6,
+        tts_flow_hidden_dim=32,
+        tts_flow_num_layers=2,
+        asr_flow_hidden_dim=32,
+        asr_flow_num_layers=2,
+        flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+        latent_mean=0.04,
+        latent_std=1.19,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "flow": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    B, T_txt, T_aud = 2, 3, 16
+    params = model.init(
+        rngs,
+        jnp.zeros((B, T_txt), jnp.int32),
+        jnp.ones((B, T_txt), jnp.int32),
+        jnp.zeros((B, T_aud, 8), jnp.float32),
+        jnp.ones((B, T_aud), jnp.int32),
+        jnp.zeros((B, 6), jnp.int32),
+        train=False,
+        method=QwenCALM.forward_asr,
+    )["params"]
+    # the DiT out_proj is zero-init, which would make the flow loss blind
+    # to the condition (pred_v = 0 regardless) — perturb the whole ASR head
+    # so any packed-vs-solo context difference shows up in the loss
+    leaves, treedef = jax.tree_util.tree_flatten(params["asr_flow_head"])
+    key = jax.random.PRNGKey(7)
+    noised = [
+        l + 0.02 * jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype)
+        for i, l in enumerate(leaves)
+    ]
+    params["asr_flow_head"] = jax.tree_util.tree_unflatten(treedef, noised)
+    return model, {"params": params}
+
+
+def test_forward_asr_packed_matches_solo(tiny_calm):
+    """Packed loss == solo forward_asr loss on the same utterances in the
+    same flattened order (fp32, same rng => identical flow-time draws)."""
+    model, variables = tiny_calm
+    rows, segs, L = 2, 2, 16
+    exs = _examples([9, 6, 12, 3], label_lens=[4, 2, 5, 3], seed=3)
+    packed, left = pack_asr_window(
+        exs, PROMPT, rows, row_len=2 * (16 + 1 + 3), segments=segs,
+        seg_frames=L, latent_dim=8, max_text_len=6)
+    assert not left
+    assert int((packed["latent_mask"].sum(-1) > 0).sum()) == 4
+
+    B = rows * segs
+    solo = dict(
+        text_ids=np.tile(PROMPT, (B, 1)),
+        attention_mask=np.ones((B, len(PROMPT)), np.int32),
+        latents=packed["latents"].reshape(B, L, 8),
+        audio_mask=packed["latent_mask"].reshape(B, L),
+        labels=packed["labels"].reshape(B, -1),
+    )
+
+    flow = jax.random.PRNGKey(11)
+    out_solo = model.apply(
+        variables, solo["text_ids"], solo["attention_mask"],
+        solo["latents"], solo["audio_mask"], solo["labels"],
+        train=False, rngs={"flow": flow}, method=QwenCALM.forward_asr,
+    )
+    out_packed = model.apply(
+        variables, packed["latents"], packed["latent_mask"],
+        packed["labels"], packed["tok_ids"], packed["kind"],
+        packed["gather_idx"], packed["segment_ids"],
+        packed["position_ids"], packed["ctx_idx"],
+        train=False, rngs={"flow": flow}, method=QwenCALM.forward_asr_packed,
+    )
+    a, b = float(out_solo["loss_asr"]), float(out_packed["loss_asr"])
+    assert a == pytest.approx(b, rel=2e-5), (a, b)
+
+    # sensitivity control: corrupting one segment's context gather must
+    # move the loss, or the equality above proves nothing
+    bad = dict(packed)
+    ci = packed["ctx_idx"].copy()
+    ci[0, 0] = (ci[0, 0] + 5) % (2 * (16 + 1 + 3))
+    bad["ctx_idx"] = ci
+    out_bad = model.apply(
+        variables, bad["latents"], bad["latent_mask"], bad["labels"],
+        bad["tok_ids"], bad["kind"], bad["gather_idx"], bad["segment_ids"],
+        bad["position_ids"], bad["ctx_idx"],
+        train=False, rngs={"flow": flow}, method=QwenCALM.forward_asr_packed,
+    )
+    assert abs(float(out_bad["loss_asr"]) - b) > 1e-6
+
+
+def test_forward_asr_packed_with_dummy_slots(tiny_calm):
+    """Underfull windows leave empty segments; they contribute nothing to
+    the loss (global mask normalization) and never NaN."""
+    model, variables = tiny_calm
+    exs = _examples([9, 6, 12], seed=4)  # 3 utterances in 4 slots
+    packed, left = pack_asr_window(
+        exs, PROMPT, 2, row_len=2 * (16 + 1 + 3), segments=2,
+        seg_frames=16, latent_dim=8, max_text_len=6)
+    assert not left
+    out = model.apply(
+        variables, packed["latents"], packed["latent_mask"],
+        packed["labels"], packed["tok_ids"], packed["kind"],
+        packed["gather_idx"], packed["segment_ids"],
+        packed["position_ids"], packed["ctx_idx"],
+        train=False, rngs={"flow": jax.random.PRNGKey(11)},
+        method=QwenCALM.forward_asr_packed,
+    )
+    assert np.isfinite(float(out["loss_asr"]))
+
+
+class _PackDataset:
+    """In-memory CalmDataset stand-in; audio value idx+1 identifies items."""
+
+    def __init__(self, asr_lens, max_text_len=6, max_audio_len=16):
+        self.max_text_len = max_text_len
+        self.max_audio_len = max_audio_len
+        self.tts_items = []
+        self.asr_items = list(asr_lens)
+        self.asr_prompt_ids = PROMPT
+
+    def get(self, mode, idx):
+        L = self.asr_items[idx]
+        return CalmExample(
+            input_ids=PROMPT.copy(),
+            labels=np.asarray([idx % 5 + 1], np.int32),
+            audio=np.full((L, 8), idx + 1, np.float32),
+            mode="asr",
+        )
+
+
+def test_packed_iterator_coverage_and_task():
+    """The packing iterator emits task='asr_packed' batches; every drawn
+    example lands in exactly one segment across the epoch (window leftovers
+    carry instead of dropping)."""
+    rng = np.random.default_rng(5)
+    lens = [int(x) for x in rng.integers(2, 17, size=40)]
+    ds = _PackDataset(lens)
+    seen = []
+    for b in calm_batch_iterator(
+        ds, batch_size=4, pad_token_id=0, latent_dim=8, task_prob_tts=0.0,
+        training=False, seed=0, epochs=1,
+        asr_pack_rows=2, asr_pack_len=42, asr_pack_segments=3,
+    ):
+        assert b["task"] == "asr_packed"
+        ids = b["latents"][..., 0, 0][b["latent_mask"][..., 0] > 0]
+        seen.extend(int(v) - 1 for v in ids)
+    assert len(seen) == len(set(seen))
+    # tail pools are emitted underfull; only undrawn order tail may drop
+    assert len(seen) >= 40 - 2 * 3
+    # identified examples really are distinct dataset items
+    assert set(seen) <= set(range(40))
+
+
+def test_packed_train_step_microbatch():
+    """make_calm_step(task='asr_packed', microbatch=2): the generic axis-0
+    split applies to the row-local packed layout; loss finite, grads move
+    the trainable params."""
+    import optax
+
+    from audio_calm_tpu.train.optim import partition_params
+    from audio_calm_tpu.train.steps import init_train_state, make_calm_step
+
+    cfg = CALMModelConfig(
+        latent_dim=8, max_audio_len=16, max_text_len=6,
+        tts_flow_hidden_dim=32, tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    exs = _examples([9, 6, 12, 3, 7, 5, 2, 11], seed=6)
+    packed, _ = pack_asr_window(
+        exs, PROMPT, 4, row_len=40, segments=2, seg_frames=16,
+        latent_dim=8, max_text_len=6)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        packed["latents"], packed["latent_mask"], packed["labels"],
+        packed["tok_ids"], packed["kind"], packed["gather_idx"],
+        packed["segment_ids"], packed["position_ids"], packed["ctx_idx"],
+        train=False, method=QwenCALM.forward_asr_packed,
+    )["params"]
+    trainable, frozen = partition_params(
+        params, lambda k: "train" if k[0] != "llm" else "freeze")
+    tx = optax.adam(1e-3)
+    state = init_train_state(trainable, tx)
+    step = jax.jit(make_calm_step(model, tx, "asr_packed", microbatch=2))
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    new_state, metrics = step(state, frozen, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_packed_training_trajectory_matches_solo():
+    """Packed and solo ASR TRAINING trajectories match step-for-step (same
+    utterances, same rng): forward equality alone could hide a backward
+    bug; 12 optimizer steps through both programs agree to fp32 drift."""
+    import optax
+
+    from audio_calm_tpu.train.optim import partition_params
+    from audio_calm_tpu.train.steps import init_train_state, make_calm_step
+
+    exs = _examples([9, 6, 12, 3, 7, 5, 2, 11], label_lens=[3] * 8, seed=8)
+    packed, left = pack_asr_window(
+        exs, PROMPT, rows=4, row_len=40, segments=2, seg_frames=16,
+        latent_dim=8, max_text_len=6)
+    assert not left
+    B = 8
+    solo = dict(
+        text_ids=jnp.asarray(np.tile(PROMPT, (B, 1))),
+        attention_mask=jnp.ones((B, len(PROMPT)), jnp.int32),
+        latents=jnp.asarray(packed["latents"].reshape(B, 16, 8)),
+        audio_mask=jnp.asarray(packed["latent_mask"].reshape(B, 16)),
+        labels=jnp.asarray(packed["labels"].reshape(B, -1)),
+    )
+    cfg = CALMModelConfig(
+        latent_dim=8, max_audio_len=16, max_text_len=6,
+        tts_flow_hidden_dim=32, tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+        cfg_dropout_prob=0.0,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        solo["text_ids"], solo["attention_mask"], solo["latents"],
+        solo["audio_mask"], solo["labels"],
+        train=False, method=QwenCALM.forward_asr)["params"]
+
+    def run(task, batch):
+        trainable, frozen = partition_params(
+            params, lambda k: "train" if k[0] != "llm" else "freeze")
+        tx = optax.adam(3e-3)
+        state = init_train_state(trainable, tx)
+        step = jax.jit(make_calm_step(model, tx, task))
+        losses = []
+        for _ in range(12):
+            state, m = step(state, frozen, batch, jax.random.PRNGKey(42))
+            losses.append(float(m["loss_asr"]))
+        return np.asarray(losses)
+
+    ls = run("asr", solo)
+    lp = run("asr_packed", {k: jnp.asarray(v) for k, v in packed.items()})
+    assert np.max(np.abs(ls - lp)) < 5e-3, (ls, lp)
