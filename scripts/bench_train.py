@@ -12,6 +12,18 @@ therefore includes the ~26 ms per-dispatch tunnel floor that a production
 host does not pay. FLOPs come from a scan-free microbatch=1 twin of the
 step (XLA counts a lax.scan body once — utils/profiling.lowered_flops).
 
+Two extras make BASELINE.md's throughput folds reproducible from this CLI
+instead of ad hoc scripts:
+
+* `--fold librispeech|libritts` draws a synthetic utterance-length corpus
+  (lognormal durations, parameters printed in the JSON) and folds the
+  measured per-bucket step times over the REAL iterator semantics
+  (length_group_window sorting, bucket choice) into one samples/s number.
+* `--pack ROWS,LEN,SEGS` measures the packed-ASR step
+  (collator.pack_asr_window layout -> QwenCALM.forward_asr_packed) and,
+  with --fold, replays the iterator's FFD window packing over the corpus
+  to report true utterances/s (rows are not samples).
+
 The reference's counterpart is the thop probe + steps/sec logs of
 train_calm.py:521-567; here the whole measurement is a reproducible CLI.
 """
@@ -41,6 +53,23 @@ def main(argv=None):
                         "default max_text_len)")
     p.add_argument("--crop", type=int, default=256,
                    help="vae task: mel crop frames")
+    p.add_argument("--pack", default=None, metavar="ROWS,LEN,SEGS",
+                   help="asr sequence packing recipe, e.g. 16,512,4 "
+                        "(data.asr_pack_rows/len/segments)")
+    p.add_argument("--prompt-len", type=int, default=20,
+                   help="packed mode: constant ASR prompt length in tokens")
+    p.add_argument("--fold", choices=("librispeech", "libritts"),
+                   default=None,
+                   help="fold measured step times over a synthetic "
+                        "utterance-length corpus (librispeech: mean 12.8 s; "
+                        "libritts: mean 5.9 s)")
+    p.add_argument("--fold-n", type=int, default=20000,
+                   help="corpus size for --fold")
+    p.add_argument("--fold-sigma", type=float, default=0.6,
+                   help="lognormal sigma for --fold durations")
+    p.add_argument("--group-window", type=int, default=16,
+                   help="length_group_window for the bucketed --fold "
+                        "(0 = random batch order)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -57,6 +86,80 @@ def main(argv=None):
 
     import jax.numpy as jnp
     import numpy as np
+
+    # --- fold corpus: synthetic utterance lengths (latent frames) --------
+    # 384 latent frames = 24.576 s audio (BASELINE.md) -> 15.625 frames/s
+    FPS = 384 / 24.576
+    FOLD_MEAN_S = {"librispeech": 12.8, "libritts": 5.9}
+
+    def fold_lengths():
+        mean_s = FOLD_MEAN_S[args.fold]
+        sig = args.fold_sigma
+        # lognormal with E[dur] = mean_s before clipping
+        mu = float(np.log(mean_s) - 0.5 * sig * sig)
+        npr = np.random.default_rng(12345)
+        dur = np.exp(npr.normal(mu, sig, args.fold_n))
+        return np.clip(np.round(dur * FPS).astype(int), 8, 384)
+
+    def fold_bucketed(lengths, B, window, buckets):
+        """Replay the iterator's length-group window + bucket choice
+        (collator.calm_batch_iterator) over `lengths`; returns
+        ({bucket: n_batches}, n_samples)."""
+        counts, n_samples, carry, i = {}, 0, [], 0
+        lens = list(lengths)
+        while True:
+            if window > 0:
+                pool, carry = carry, []
+                want = B * window
+                while len(pool) < want and i < len(lens):
+                    pool.append(lens[i])
+                    i += 1
+                pool.sort()
+                n_full = len(pool) - len(pool) % B
+                batches = [pool[j:j + B] for j in range(0, n_full, B)]
+                carry = pool[n_full:]
+                if not batches:
+                    break
+            else:
+                if i + B > len(lens):
+                    break
+                batches, i = [lens[i:i + B]], i + B
+            for b in batches:
+                t = next((k for k in buckets if k >= max(b)), buckets[-1])
+                counts[t] = counts.get(t, 0) + 1
+                n_samples += B
+        return counts, n_samples
+
+    def fold_packed(lengths, rows, row_len, segs, P, seg_frames):
+        """Replay the iterator's FFD window packing (collator
+        pack_asr_window decisions, lengths only); returns
+        (n_steps, n_utterances, tokens_used)."""
+        i, carry = 0, []
+        lens = list(lengths)
+        steps = utts = tok = 0
+        while carry or i < len(lens):
+            pool, carry = carry, []
+            want = rows * segs
+            while len(pool) < want and i < len(lens):
+                pool.append(lens[i])
+                i += 1
+            if not pool:
+                break
+            caps, cnt, left = [row_len] * rows, [0] * rows, []
+            for n in sorted(pool, reverse=True):
+                cost = min(n, seg_frames) + 1 + P
+                for r in range(rows):
+                    if cnt[r] < segs and caps[r] >= cost:
+                        caps[r] -= cost
+                        cnt[r] += 1
+                        break
+                else:
+                    left.append(n)
+            steps += 1
+            utts += len(pool) - len(left)
+            tok += rows * row_len - sum(caps)
+            carry = left
+        return steps, utts, tok
 
     from audio_calm_tpu.config import TrainingConfig
     from audio_calm_tpu.utils.cache import enable_compilation_cache
@@ -114,6 +217,17 @@ def main(argv=None):
     from audio_calm_tpu.train.steps import (init_train_state, make_calm_step,
                                             shard_step)
 
+    pack = None
+    if args.pack:
+        if args.task != "asr":
+            p.error("--pack requires --task asr")
+        pack = tuple(int(x) for x in args.pack.split(","))
+        if len(pack) != 3:
+            p.error("--pack wants ROWS,LEN,SEGS")
+        if pack[0] % K:
+            p.error(f"--pack rows {pack[0]} must be divisible by "
+                    f"--microbatch {K}")
+
     m = flagship_config(num_llm_layers=args.llm_layers)
     model = QwenCALM(m, dtype=jnp.bfloat16)
     print("init params...", file=sys.stderr, flush=True)
@@ -130,17 +244,87 @@ def main(argv=None):
     tx = make_optimizer(t_cfg, trainable, label, 1000)
     state = init_train_state(trainable, tx)
     mesh = make_mesh()
+    step_task = "asr_packed" if pack else args.task
     step, state, frozen = shard_step(
-        make_calm_step(model, tx, args.task, microbatch=K), mesh, state,
+        make_calm_step(model, tx, step_task, microbatch=K), mesh, state,
         frozen)
-    probe = make_calm_step(model, tx, args.task, microbatch=1)
+    probe = make_calm_step(model, tx, step_task, microbatch=1)
 
     sd = jax.ShapeDtypeStruct
     state_sd = jax.tree.map(lambda a: sd(a.shape, a.dtype), state)
     frozen_sd = jax.tree.map(lambda a: sd(a.shape, a.dtype), frozen)
 
     rng = jax.random.PRNGKey(1)
+
+    if pack:
+        from audio_calm_tpu.data.collator import pack_asr_window
+        from audio_calm_tpu.data.datasets import CalmExample
+
+        rows, row_len, segs = pack
+        P = args.prompt_len
+        seg_frames = m.max_audio_len
+        lens = (fold_lengths() if args.fold
+                else np.full(rows * segs, seg_frames))
+        npr = np.random.default_rng(7)
+        pool = [
+            CalmExample(
+                input_ids=np.zeros((1,), np.int32),
+                labels=np.asarray(
+                    npr.integers(1, 1000, (m.max_text_len,)), np.int32),
+                audio=npr.normal(size=(n, m.latent_dim)).astype(np.float32),
+                mode="asr",
+            )
+            for n in lens[: rows * segs]
+        ]
+        prompt_ids = np.arange(1, P + 1, dtype=np.int32)
+        batch_np, _left = pack_asr_window(
+            pool, prompt_ids, rows, row_len, segs, seg_frames,
+            m.latent_dim, m.max_text_len)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        sd_of = lambda a: sd(a.shape, a.dtype)
+        flops = lowered_flops(probe, state_sd, frozen_sd,
+                              jax.tree.map(sd_of, batch),
+                              sd((2,), jnp.uint32))
+        print(f"compile packed rows={rows} len={row_len} segs={segs} ...",
+              file=sys.stderr, flush=True)
+        t0 = time.time()
+        state, out = step(state, frozen, batch, rng)
+        loss = float(np.asarray(out["loss"]))
+        print(f"  compiled+ran in {time.time() - t0:.1f}s loss={loss:.4f}",
+              file=sys.stderr, flush=True)
+        times = []
+        for _ in range(args.steps):
+            t0 = time.time()
+            state, out = step(state, frozen, batch, rng)
+            np.asarray(out["loss"])
+            times.append(time.time() - t0)
+        tmin = min(times)
+        rec = {
+            "task": "asr_packed", "rows": rows, "row_len": row_len,
+            "segments": segs, "microbatch": K, "prompt_len": P,
+            "step_min_s": round(tmin, 4),
+            "step_mean_s": round(sum(times) / len(times), 4),
+        }
+        if flops:
+            rec["step_tflops"] = round(flops / 1e12, 2)
+            if peak:
+                rec["mfu_pct"] = round(100 * flops / tmin / peak, 1)
+        if args.fold:
+            n_steps, n_utts, tok = fold_packed(
+                fold_lengths(), rows, row_len, segs, P, seg_frames)
+            rec.update({
+                "fold": args.fold, "fold_sigma": args.fold_sigma,
+                "fold_utts_per_step": round(n_utts / n_steps, 2),
+                "fold_token_occupancy_pct": round(
+                    100 * tok / (n_steps * rows * row_len), 1),
+                "fold_samples_per_s": round(
+                    n_utts / (n_steps * tmin), 2),
+            })
+        print(json.dumps(rec), flush=True)
+        return 0
+
     t_txt = args.text_pad or m.max_text_len
+    fold_rows = []
     for t_aud in [int(x) for x in args.buckets.split(",")]:
         npr = np.random.default_rng(t_aud)
         batch = {
@@ -185,6 +369,22 @@ def main(argv=None):
             if peak:
                 rec["mfu_pct"] = round(100 * flops / tmin / peak, 1)
         print(json.dumps(rec), flush=True)
+        fold_rows.append((t_aud, tmin))
+
+    if args.fold:
+        buckets = [b for b, _ in fold_rows]
+        tmin_by = dict(fold_rows)
+        counts, n_samples = fold_bucketed(
+            fold_lengths(), B, args.group_window, buckets)
+        total_t = sum(n * tmin_by[b] for b, n in counts.items())
+        print(json.dumps({
+            "task": args.task, "batch": B, "microbatch": K,
+            "fold": args.fold, "fold_sigma": args.fold_sigma,
+            "group_window": args.group_window,
+            "fold_bucket_batches": {str(k): v
+                                    for k, v in sorted(counts.items())},
+            "fold_samples_per_s": round(n_samples / total_t, 1),
+        }), flush=True)
     return 0
 
 
