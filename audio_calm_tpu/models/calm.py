@@ -344,7 +344,17 @@ class QwenCALM(nn.Module):
             x_mask=~valid_target,
             train=train,
         )
-        return {"loss": asr_loss * c.asr_loss_weight, "loss_asr": asr_loss}
+        # loss_den = the masked-mean denominator (valid label positions).
+        # The packed microbatch scan re-weights slice losses/grads by it:
+        # FFD packing front-loads rows, so slices carry UNEQUAL utterance
+        # counts (a window's tail slice can be all dummy slots) and a
+        # plain mean-of-slice-means would mis-weight the estimator
+        # (observed as the loss halving on dummy-heavy windows).
+        return {
+            "loss": asr_loss * c.asr_loss_weight,
+            "loss_asr": asr_loss,
+            "loss_den": jnp.sum(valid_target.astype(jnp.float32)),
+        }
 
     def forward_asr_packed(
         self,

@@ -103,6 +103,17 @@ def make_calm_step(
 
             mb = jax.tree_util.tree_map(split, batch)
 
+            # Packed slices carry UNEQUAL valid-token counts (FFD fills
+            # rows front-to-back, so a window's tail slice can be mostly
+            # dummy slots): weight each slice's grads and loss metrics by
+            # its masked-mean denominator and divide by the total at the
+            # end — the accumulated update then equals the full-batch
+            # global masked mean exactly (den is data-only, so
+            # grad(num) = den * grad(mean)). Solo tasks keep the
+            # reference's plain mean-of-slice-means (every row is one
+            # utterance there, matching HF/DeepSpeed accumulation).
+            weighted = task == "asr_packed"
+
             def body(carry, sub_batch):
                 acc_g, acc_m, i = carry
                 r = jax.random.fold_in(rng, i)
@@ -111,8 +122,13 @@ def make_calm_step(
                     "dropout": jax.random.fold_in(r, 1),
                 }
                 (_, out), g = grad_fn(state.trainable, frozen, sub_batch, rngs)
-                acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
-                acc_m = {k: acc_m[k] + out[k] for k in acc_m}
+                w = out["loss_den"] if weighted else jnp.float32(1.0)
+                acc_g = jax.tree_util.tree_map(
+                    lambda a, b: a + w * b, acc_g, g)
+                acc_m = {
+                    k: acc_m[k] + (out[k] if k == "loss_den" else w * out[k])
+                    for k in acc_m
+                }
                 return (acc_g, acc_m, i + 1), None
 
             zero_g = jax.tree_util.tree_map(
@@ -129,8 +145,16 @@ def make_calm_step(
             (g_sum, m_sum, _), _ = jax.lax.scan(
                 body, (zero_g, zero_m, jnp.zeros((), jnp.int32)), mb
             )
-            grads = jax.tree_util.tree_map(lambda g: g / microbatch, g_sum)
-            metrics = {k: v / microbatch for k, v in m_sum.items()}
+            denom = (
+                jnp.maximum(m_sum["loss_den"], 1.0)
+                if weighted
+                else jnp.float32(microbatch)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+            metrics = {
+                k: (v if k == "loss_den" else v / denom)
+                for k, v in m_sum.items()
+            }
         else:
             rngs = {
                 "flow": jax.random.fold_in(rng, 0),

@@ -337,3 +337,78 @@ def test_packed_training_trajectory_matches_solo():
     ls = run("asr", solo)
     lp = run("asr_packed", {k: jnp.asarray(v) for k, v in packed.items()})
     assert np.max(np.abs(ls - lp)) < 5e-3, (ls, lp)
+
+
+def test_packed_microbatch_weights_slices_by_valid_tokens():
+    """FFD fills rows front-to-back, so a window's tail microbatch slice
+    can be ALL dummy slots. The packed scan must weight slice grads and
+    losses by their masked-mean denominators (mean-of-slice-means halved
+    the loss and the gradient whenever the tail slice was empty): with
+    slice 1 entirely dummy, the step's loss/grads equal slice 0's alone."""
+    import optax
+
+    from audio_calm_tpu.train.optim import partition_params
+    from audio_calm_tpu.train.steps import init_train_state, make_calm_step
+
+    cfg = CALMModelConfig(
+        latent_dim=8, max_audio_len=16, max_text_len=6,
+        tts_flow_hidden_dim=32, tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+        cfg_dropout_prob=0.0,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    # 4 utterances FFD-pack into rows 0-1; rows 2-3 stay dummy, so the
+    # microbatch=2 split puts ALL real content in slice 0
+    exs = _examples([9, 6, 12, 3], seed=11)
+    packed, left = pack_asr_window(
+        exs, PROMPT, rows=4, row_len=40, segments=2, seg_frames=16,
+        latent_dim=8, max_text_len=6)
+    assert not left
+    real_rows = packed["latent_mask"].reshape(4, -1).sum(-1) > 0
+    assert list(real_rows) == [True, True, False, False]
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        packed["latents"], packed["latent_mask"], packed["labels"],
+        packed["tok_ids"], packed["kind"], packed["gather_idx"],
+        packed["segment_ids"], packed["position_ids"], packed["ctx_idx"],
+        train=False, method=QwenCALM.forward_asr_packed,
+    )["params"]
+    trainable, frozen = partition_params(
+        params, lambda k: "train" if k[0] != "llm" else "freeze")
+    tx = optax.adam(1e-3)
+    state = init_train_state(trainable, tx)
+    step = jax.jit(make_calm_step(model, tx, "asr_packed", microbatch=2))
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    rng = jax.random.PRNGKey(9)
+    _, metrics = step(state, frozen, batch, rng)
+
+    # manual slice-0 forward/backward with the body's exact rng folds
+    r = jax.random.fold_in(jax.random.fold_in(rng, 0), 0)  # step 0, slice 0
+    rngs = {"flow": jax.random.fold_in(r, 0),
+            "dropout": jax.random.fold_in(r, 1)}
+    slice0 = {k: v[:2] for k, v in batch.items()}
+
+    def loss0(tr):
+        from audio_calm_tpu.train.optim import merge_partitions
+        out = model.apply(
+            {"params": merge_partitions(tr, frozen)},
+            slice0["latents"], slice0["latent_mask"], slice0["labels"],
+            slice0["tok_ids"], slice0["kind"], slice0["gather_idx"],
+            slice0["segment_ids"], slice0["position_ids"],
+            slice0["ctx_idx"],
+            train=True, rngs=rngs, method=QwenCALM.forward_asr_packed,
+        )
+        return out["loss"], out
+
+    (l0, out0), g0 = jax.value_and_grad(loss0, has_aux=True)(trainable)
+    assert float(out0["loss_den"]) > 0
+    np.testing.assert_allclose(float(metrics["loss"]), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(metrics["loss_den"]), float(out0["loss_den"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(optax.global_norm(g0)),
+        rtol=1e-4)
