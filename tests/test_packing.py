@@ -412,3 +412,34 @@ def test_packed_microbatch_weights_slices_by_valid_tokens():
     np.testing.assert_allclose(
         float(metrics["grad_norm"]), float(optax.global_norm(g0)),
         rtol=1e-4)
+
+
+def test_pack_config_falls_back_multihost():
+    """Multi-host runs disable packing (pack decisions would depend on rows
+    other processes hold): with process_count>1 the iterator must yield
+    plain 'asr' batches whose per-rank shards are lock-stepped slices of
+    the same global order — identical to the no-pack iterator."""
+    lens = [int(x) for x in np.random.default_rng(3).integers(2, 17, 24)]
+
+    def batches(rank, **kw):
+        ds = _PackDataset(lens)
+        return list(calm_batch_iterator(
+            ds, batch_size=4, pad_token_id=0, latent_dim=8,
+            task_prob_tts=0.0, training=False, seed=7, epochs=1,
+            process_index=rank, process_count=2, **kw))
+
+    with_pack = [batches(r, asr_pack_rows=2, asr_pack_len=42,
+                         asr_pack_segments=3) for r in (0, 1)]
+    without = [batches(r) for r in (0, 1)]
+    for rank in (0, 1):
+        assert len(with_pack[rank]) == len(without[rank]) > 0
+        for bp, bn in zip(with_pack[rank], without[rank]):
+            assert bp["task"] == "asr"  # packing silently off, not packed
+            for k in bp:
+                if k == "task":
+                    continue
+                np.testing.assert_array_equal(bp[k], bn[k])
+    # the two ranks hold disjoint halves of each global batch
+    for bp0, bp1 in zip(with_pack[0], with_pack[1]):
+        assert bp0["latents"].shape == bp1["latents"].shape
+        assert not np.array_equal(bp0["latents"], bp1["latents"])
