@@ -292,6 +292,20 @@ class DataConfig:
     asr_pack_len: int = 512
     # max utterances per packed row (sizes the static per-row slot arrays)
     asr_pack_segments: int = 4
+    # TTS sequence packing: pack several [text|SOA] segments into each LLM
+    # row (same block-diagonal machinery; exact — the MAS/dur/flow tail
+    # still sees each utterance solo). The TTS LLM encode otherwise pays
+    # the full max_text_len grid per utterance while typical texts are a
+    # quarter of it. The audio/DiT side stays per-slot and composes with
+    # audio_buckets + length_group_window (groups sort by audio length
+    # before their texts pack). 0 = off; rows per GLOBAL batch, must
+    # divide by data devices x microbatch_steps. Single-host only.
+    tts_pack_rows: int = 0
+    # tokens per packed row (>= max_text_len + 1 so the longest text fits)
+    tts_pack_len: int = 256
+    # max utterances per packed row (tts_pack_rows x tts_pack_segments is
+    # the utterance count per step — the packed analogue of batch_size)
+    tts_pack_segments: int = 8
     # VAE training data
     data_dir: Optional[str] = None
     eval_data_dir: Optional[str] = None

@@ -169,6 +169,91 @@ def pack_asr_window(
     return batch, leftover
 
 
+def pack_tts_window(
+    examples: List[CalmExample],
+    rows: int,
+    row_len: int,
+    segments: int,
+    t_aud: int,
+    latent_dim: int,
+    max_text_len: int,
+) -> Tuple[Dict[str, np.ndarray], List[int]]:
+    """First-fit-decreasing pack of TTS texts into `rows` LLM rows.
+
+    Each packed segment is [text (exact length) | SOA]; the audio/DiT side
+    stays per-slot at the `t_aud` grid (callers bucket it). Returns
+    (batch, leftover_indices) for QwenCALM.forward_tts_packed; index arrays
+    are row-local so row subsets (data-parallel shards, microbatch slices)
+    are self-contained. Empty slots are dummies (all-zero text_mask) the
+    model masks out of every loss term.
+    """
+    if row_len < max_text_len + 1:
+        raise ValueError(
+            f"tts_pack_len={row_len} cannot fit a max-length segment "
+            f"({max_text_len} tokens + SOA)"
+        )
+    order = sorted(
+        range(len(examples)), key=lambda i: -len(examples[i].input_ids)
+    )
+    caps = [row_len] * rows
+    counts = [0] * rows
+    assign: List[List[int]] = [[] for _ in range(rows)]
+    leftover: List[int] = []
+    for i in order:
+        cost = min(len(examples[i].input_ids), max_text_len) + 1
+        for r in range(rows):
+            if counts[r] < segments and caps[r] >= cost:
+                assign[r].append(i)
+                caps[r] -= cost
+                counts[r] += 1
+                break
+        else:
+            leftover.append(i)
+
+    latents = np.zeros((rows, segments, t_aud, latent_dim), np.float32)
+    audio_mask = np.zeros((rows, segments, t_aud), np.int32)
+    text_mask = np.zeros((rows, segments, max_text_len), np.int32)
+    tok_ids = np.zeros((rows, row_len), np.int32)
+    kind = np.zeros((rows, row_len), np.int32)
+    segment_ids = np.zeros((rows, row_len), np.int32)
+    position_ids = np.zeros((rows, row_len), np.int32)
+    # default gathers point at the appended zero slot (row_len)
+    ctx_idx = np.full((rows, segments, max_text_len), row_len, np.int32)
+    soa_idx = np.full((rows, segments), row_len, np.int32)
+
+    for r, idxs in enumerate(assign):
+        t = 0
+        for s, i in enumerate(idxs):
+            ex = examples[i]
+            ids = ex.input_ids[:max_text_len]
+            n = len(ids)
+            a = ex.audio[:t_aud]
+            latents[r, s, : len(a)] = a
+            audio_mask[r, s, : len(a)] = 1
+            text_mask[r, s, :n] = 1
+            tok_ids[r, t : t + n] = ids
+            kind[r, t : t + n] = 1
+            kind[r, t + n] = 2
+            ctx_idx[r, s, :n] = t + np.arange(n)
+            soa_idx[r, s] = t + n
+            segment_ids[r, t : t + n + 1] = s + 1
+            position_ids[r, t : t + n + 1] = np.arange(n + 1)
+            t += n + 1
+
+    batch = {
+        "latents": latents,
+        "audio_mask": audio_mask,
+        "text_mask": text_mask,
+        "tok_ids": tok_ids,
+        "kind": kind,
+        "segment_ids": segment_ids,
+        "position_ids": position_ids,
+        "ctx_idx": ctx_idx,
+        "soa_idx": soa_idx,
+    }
+    return batch, leftover
+
+
 def calm_batch_iterator(
     dataset: CalmDataset,
     batch_size: int,
@@ -184,6 +269,9 @@ def calm_batch_iterator(
     asr_pack_rows: int = 0,
     asr_pack_len: int = 512,
     asr_pack_segments: int = 4,
+    tts_pack_rows: int = 0,
+    tts_pack_len: int = 256,
+    tts_pack_segments: int = 8,
     process_index: int = 0,
     process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
@@ -230,6 +318,7 @@ def calm_batch_iterator(
         audio_buckets = None
         length_group_window = 0
         asr_pack_rows = 0
+        tts_pack_rows = 0
     if audio_buckets:
         audio_buckets = sorted(audio_buckets)
     # ASR prompt width: the prompt is the constant asr_prompt_ids, so the
@@ -266,6 +355,8 @@ def calm_batch_iterator(
         pending = {k: [] for k in orders}
         carry = {k: [] for k in orders}
         pack_carry: List[CalmExample] = []  # packed-ASR window leftovers
+        tts_pack_carry: List[CalmExample] = []  # packed-TTS leftovers
+        tts_pending: List[List[CalmExample]] = []  # length-grouped groups
         yielded = False
 
         def _avail(k):
@@ -275,6 +366,10 @@ def calm_batch_iterator(
                 # < batch_size tail below)
                 return bool(pack_carry) or (
                     cursors[k] + asr_pack_rows <= len(orders[k])
+                )
+            if k == "tts" and tts_pack_rows > 0:
+                return bool(tts_pending) or bool(tts_pack_carry) or (
+                    cursors[k] + tts_pack_rows <= len(orders[k])
                 )
             return pending[k] or cursors[k] + batch_size <= len(orders[k])
 
@@ -315,6 +410,49 @@ def calm_batch_iterator(
                 # true utterance count for samples/sec accounting (the
                 # leading dim is packed ROWS, not samples)
                 batch["n_samples"] = len(pool) - len(left)
+                yielded = True
+                yield batch
+                continue
+            if task == "tts" and tts_pack_rows > 0:
+                # TTS packing composes with length grouping: the pool is
+                # sorted by audio length and sliced into row-set groups, so
+                # each group's audio pads to the smallest bucket that fits
+                # while its texts FFD-pack into the LLM rows
+                if not tts_pending:
+                    gsize = tts_pack_rows * tts_pack_segments
+                    want = gsize * max(length_group_window, 1)
+                    pool = tts_pack_carry
+                    tts_pack_carry = []
+                    while (len(pool) < want
+                           and cursors[task] < len(orders[task])):
+                        ex = dataset.get(task, orders[task][cursors[task]])
+                        cursors[task] += 1
+                        if ex is not None:
+                            pool.append(ex)
+                    if not pool:
+                        continue
+                    if length_group_window > 0:
+                        pool.sort(key=lambda e: len(e.audio))  # stable
+                    groups = [pool[i: i + gsize]
+                              for i in range(0, len(pool), gsize)]
+                    if length_group_window > 0:
+                        group_rng.shuffle(groups)
+                    tts_pending.extend(groups)
+                group = tts_pending.pop(0)
+                t_aud = dataset.max_audio_len
+                if audio_buckets:
+                    longest = max(len(e.audio) for e in group)
+                    t_aud = next(
+                        (b for b in audio_buckets if b >= longest),
+                        dataset.max_audio_len,
+                    )
+                batch, left = pack_tts_window(
+                    group, tts_pack_rows, tts_pack_len, tts_pack_segments,
+                    t_aud, latent_dim, dataset.max_text_len,
+                )
+                tts_pack_carry.extend(group[i] for i in left)
+                batch["task"] = "tts_packed"
+                batch["n_samples"] = len(group) - len(left)
                 yielded = True
                 yield batch
                 continue

@@ -175,14 +175,38 @@ class QwenCALM(nn.Module):
         audio_mask: jnp.ndarray,  # [B, T_aud] 1 = valid
         train: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        c = self.cfg
         gt = self.normalize_latents(latents)
-        B, T_aud, _ = gt.shape
-
         cond_vec, text_ctx, text_pad = self.encode_text_for_tts(
             text_ids, attention_mask, train
         )
-        tgt_mask = audio_mask.astype(bool)
+        return self._tts_condition_and_loss(
+            cond_vec, text_ctx, text_pad, gt, audio_mask.astype(bool), train
+        )
+
+    def _tts_condition_and_loss(
+        self,
+        cond_vec: jnp.ndarray,  # [B, 1, D] SOA hidden
+        text_ctx: jnp.ndarray,  # [B, T_txt, D] LLM hidden over text
+        text_pad: jnp.ndarray,  # [B, T_txt] True = PAD
+        gt: jnp.ndarray,  # [B, T_aud, latent_dim] normalized targets
+        tgt_mask: jnp.ndarray,  # [B, T_aud] bool, True = valid
+        train: bool,
+        real: jnp.ndarray = None,  # [B] bool: row is a real utterance
+        dens: Tuple[jnp.ndarray, jnp.ndarray] = None,  # (slots, frames)
+    ) -> Dict[str, jnp.ndarray]:
+        """MAS + len/dur predictors + flow loss given per-utterance LLM
+        outputs (the tail shared by forward_tts and forward_tts_packed,
+        reference modeling_calm.py:703-827).
+
+        real=None: the reference's solo semantics (every row is an
+        utterance; each term is a plain mean). real given: packed batches
+        carry dummy slots, so each term becomes a masked sum over real
+        rows divided by `dens` — pass the GLOBAL (slot count, valid frame
+        count) so microbatch slices sum exactly to the full-batch loss
+        (train/steps.py computes them pre-scan); dens=None derives them
+        from this batch."""
+        c = self.cfg
+        B, T_aud, _ = gt.shape
 
         # --- length prediction ---
         valid = ~text_pad
@@ -192,12 +216,19 @@ class QwenCALM(nn.Module):
         ) / jnp.maximum(jnp.sum(valid_f, axis=1, keepdims=True), 1.0)
         len_pred = self.tts_len_predictor(text_mean.astype(self.dtype))
         len_pred = len_pred.astype(jnp.float32)
-        gt_len = jnp.sum(audio_mask.astype(jnp.float32), axis=1)
+        gt_len = jnp.sum(tgt_mask.astype(jnp.float32), axis=1)
         text_len = jnp.sum(valid_f, axis=1)
         min_f = jnp.maximum(text_len * 2.0, 10.0)
         max_f = jnp.minimum(text_len * 12.0, float(c.max_audio_len))
         len_pred_c = jnp.clip(len_pred, min_f, max_f)
-        len_loss = smooth_l1(jnp.log1p(len_pred_c), jnp.log1p(gt_len))
+        if real is None:
+            len_loss = smooth_l1(jnp.log1p(len_pred_c), jnp.log1p(gt_len))
+        else:
+            real_f = real.astype(jnp.float32)
+            d = jnp.abs(jnp.log1p(len_pred_c) - jnp.log1p(gt_len))
+            len_num = jnp.sum(
+                jnp.where(d < 1.0, 0.5 * d * d, d - 0.5) * real_f
+            )
 
         # --- MAS duration ground truth (no grad) ---
         audio_for_align = jax.lax.stop_gradient(self.input_proj(gt))
@@ -218,11 +249,13 @@ class QwenCALM(nn.Module):
         dur_pred = jnp.where(text_pad, 0.0, dur_pred)
         dur_sum = jnp.maximum(jnp.sum(dur_pred, axis=1, keepdims=True), 1e-4)
         dur_scaled = dur_pred * (T_aud / dur_sum)
-        dur_loss = jnp.mean(
-            jnp.abs(
-                jnp.log1p(dur_scaled * valid_f) - jnp.log1p(gt_dur * valid_f)
-            )
+        dur_abs = jnp.abs(
+            jnp.log1p(dur_scaled * valid_f) - jnp.log1p(gt_dur * valid_f)
         )
+        if real is None:
+            dur_loss = jnp.mean(dur_abs)
+        else:
+            dur_num = jnp.sum(dur_abs * real_f[:, None])
 
         # --- condition + flow loss (teacher-forced GT alignment) ---
         aligned_text = jnp.einsum(
@@ -250,17 +283,91 @@ class QwenCALM(nn.Module):
             train=train,
         )
 
+        out: Dict[str, jnp.ndarray] = {}
+        if real is not None:
+            # dummy slots contribute zero frames, so the flow masked mean
+            # already excludes them; rescale its local denominator to the
+            # global one (num = mean * local_frames)
+            frames = jnp.sum(tgt_mask.astype(jnp.float32))
+            n_real = jnp.sum(real_f)
+            if dens is None:
+                den_slots = jnp.maximum(n_real, 1.0)
+                den_frames = jnp.maximum(frames, 1.0)
+            else:
+                den_slots, den_frames = dens
+            tts_loss = tts_loss * (frames / den_frames)
+            len_loss = len_num / den_slots
+            dur_loss = dur_num / (den_slots * float(text_pad.shape[1]))
+            out["loss_den"] = n_real
+
         loss = (
             tts_loss * c.tts_loss_weight
             + len_loss * c.len_pred_loss_weight
             + dur_loss * c.dur_pred_loss_weight
         )
-        return {
-            "loss": loss,
-            "loss_tts": tts_loss,
-            "loss_len": len_loss,
-            "loss_dur": dur_loss,
-        }
+        out.update(
+            loss=loss, loss_tts=tts_loss, loss_len=len_loss,
+            loss_dur=dur_loss,
+        )
+        return out
+
+    def forward_tts_packed(
+        self,
+        latents: jnp.ndarray,  # [R, S, T_aud, latent_dim] per-slot raw
+        audio_mask: jnp.ndarray,  # [R, S, T_aud] 1 = valid frame
+        text_mask: jnp.ndarray,  # [R, S, T_txt] 1 = valid token
+        tok_ids: jnp.ndarray,  # [R, T_pack] text ids at text positions
+        kind: jnp.ndarray,  # [R, T_pack] 0 pad / 1 text / 2 SOA
+        segment_ids: jnp.ndarray,  # [R, T_pack] 1..S, 0 = pad
+        position_ids: jnp.ndarray,  # [R, T_pack] within-segment positions
+        ctx_idx: jnp.ndarray,  # [R, S, T_txt] into row hidden (T_pack = zero)
+        soa_idx: jnp.ndarray,  # [R, S] into row hidden (T_pack = zero)
+        global_den=None,  # optional (slot count, frame count) fp32 scalars
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Packed-sequence TTS training: several [text|SOA] segments share
+        one LLM row under block-diagonal attention with per-segment RoPE
+        positions, then each utterance's text hidden states + SOA condition
+        gather back out for the per-utterance MAS/duration/flow tail. The
+        TTS LLM encode pays the full max_text_len=96 grid for every
+        utterance in the solo layout (the reference pads every row,
+        train/train_calm.py:193-221) while typical texts are a quarter of
+        that — here the LLM sees only real tokens. Numerically equal to
+        forward_tts per utterance: all downstream consumers of text_ctx mask
+        pad positions, so gathering zeros there is invisible (tests assert
+        loss equality). The audio/DiT side stays per-slot (bucketed grid);
+        batch layout: data/collator.pack_tts_window."""
+        c = self.cfg
+        R, S, T_aud, D = latents.shape
+        T_txt = text_mask.shape[-1]
+        H = c.qwen.hidden_size
+        gt = self.normalize_latents(latents.reshape(R * S, T_aud, D))
+        tok = self.embed(tok_ids).astype(self.dtype)
+        soa = self.soa_embed.astype(self.dtype)
+        kindb = kind[..., None]
+        inp = jnp.where(kindb == 1, tok, 0) + jnp.where(kindb == 2, soa, 0)
+        hidden = self.llm(
+            inp,
+            attention_mask=(kind != 0).astype(jnp.int32),
+            position_ids=position_ids,
+            segment_ids=segment_ids,
+            train=train,
+        )
+        hflat = jnp.concatenate(
+            [hidden, jnp.zeros((R, 1, H), hidden.dtype)], axis=1
+        )
+        text_ctx = jnp.take_along_axis(
+            hflat, ctx_idx.reshape(R, S * T_txt)[..., None], axis=1
+        ).reshape(R * S, T_txt, H)
+        cond_vec = jnp.take_along_axis(
+            hflat, soa_idx.reshape(R, S)[..., None], axis=1
+        ).reshape(R * S, 1, H)
+        flat_text = text_mask.reshape(R * S, T_txt)
+        return self._tts_condition_and_loss(
+            cond_vec, text_ctx, flat_text == 0, gt,
+            audio_mask.reshape(R * S, T_aud).astype(bool), train,
+            real=flat_text.any(axis=-1), dens=global_den,
+        )
 
     # ------------------------------------------------------------------
     # ASR training branch (reference modeling_calm.py:829-894)

@@ -58,9 +58,9 @@ def make_calm_step(
     optimizer update per step either way — numerics match a full batch up
     to the per-slice rng folds and fp accumulation order.
     """
-    assert task in ("tts", "asr", "asr_packed")
+    assert task in ("tts", "asr", "asr_packed", "tts_packed")
 
-    def loss_fn(trainable, frozen, batch, rngs):
+    def loss_fn(trainable, frozen, batch, rngs, dens=None):
         params = merge_partitions(trainable, frozen)
         if task == "tts":
             out = model.apply(
@@ -68,6 +68,19 @@ def make_calm_step(
                 batch["text_ids"], batch["attention_mask"],
                 batch["latents"], batch["audio_mask"],
                 train=True, rngs=rngs, method=QwenCALM.forward_tts,
+            )
+        elif task == "tts_packed":
+            # packed-sequence TTS (collator.pack_tts_window layout); dens
+            # carries the FULL batch's global denominators through the
+            # microbatch scan so slice losses sum exactly to the
+            # full-batch loss (None = single-slice, derived in-model)
+            out = model.apply(
+                {"params": params},
+                batch["latents"], batch["audio_mask"], batch["text_mask"],
+                batch["tok_ids"], batch["kind"], batch["segment_ids"],
+                batch["position_ids"], batch["ctx_idx"], batch["soa_idx"],
+                global_den=dens,
+                train=True, rngs=rngs, method=QwenCALM.forward_tts_packed,
             )
         elif task == "asr_packed":
             # packed-sequence ASR (collator.pack_asr_window layout): every
@@ -113,6 +126,21 @@ def make_calm_step(
             # reference's plain mean-of-slice-means (every row is one
             # utterance there, matching HF/DeepSpeed accumulation).
             weighted = task == "asr_packed"
+            # Packed TTS has THREE loss terms with different denominators
+            # (valid frames / real slots / slots*grid), so one scalar
+            # weight can't reproduce the full batch. Instead each slice
+            # loss is built against the FULL batch's global denominators
+            # (computed here, outside the scan) and slice grads simply sum.
+            summed = task == "tts_packed"
+            dens = None
+            if summed:
+                slots = batch["text_mask"].any(-1).astype(jnp.float32)
+                dens = (
+                    jnp.maximum(jnp.sum(slots), 1.0),
+                    jnp.maximum(
+                        jnp.sum(batch["audio_mask"].astype(jnp.float32)), 1.0
+                    ),
+                )
 
             def body(carry, sub_batch):
                 acc_g, acc_m, i = carry
@@ -121,7 +149,8 @@ def make_calm_step(
                     "flow": jax.random.fold_in(r, 0),
                     "dropout": jax.random.fold_in(r, 1),
                 }
-                (_, out), g = grad_fn(state.trainable, frozen, sub_batch, rngs)
+                (_, out), g = grad_fn(
+                    state.trainable, frozen, sub_batch, rngs, dens=dens)
                 w = out["loss_den"] if weighted else jnp.float32(1.0)
                 acc_g = jax.tree_util.tree_map(
                     lambda a, b: a + w * b, acc_g, g)
@@ -145,11 +174,12 @@ def make_calm_step(
             (g_sum, m_sum, _), _ = jax.lax.scan(
                 body, (zero_g, zero_m, jnp.zeros((), jnp.int32)), mb
             )
-            denom = (
-                jnp.maximum(m_sum["loss_den"], 1.0)
-                if weighted
-                else jnp.float32(microbatch)
-            )
+            if weighted:
+                denom = jnp.maximum(m_sum["loss_den"], 1.0)
+            elif summed:
+                denom = jnp.float32(1.0)  # slices sum to the global loss
+            else:
+                denom = jnp.float32(microbatch)
             grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
             metrics = {
                 k: (v if k == "loss_den" else v / denom)

@@ -160,18 +160,24 @@ def main(argv=None):
     # sequence packing replaces the bucketed ASR program (single-host only,
     # like buckets/grouping — the collator disables it multi-host)
     pack_asr = d.asr_pack_rows > 0 and n_proc == 1
-    if pack_asr:
-        need = mesh.shape["data"] * max(t.microbatch_steps, 1)
-        if d.asr_pack_rows % need:
+    pack_tts = d.tts_pack_rows > 0 and n_proc == 1
+    need = mesh.shape["data"] * max(t.microbatch_steps, 1)
+    for name, rows, on in (("asr", d.asr_pack_rows, pack_asr),
+                           ("tts", d.tts_pack_rows, pack_tts)):
+        if on and rows % need:
             raise ValueError(
-                f"data.asr_pack_rows={d.asr_pack_rows} must be divisible "
+                f"data.{name}_pack_rows={rows} must be divisible "
                 f"by data devices x microbatch_steps = {need}"
             )
 
     steps = {}
     for task in ("tts", "asr"):
         if d.task_mode in (task, "mix"):
-            step_task = "asr_packed" if task == "asr" and pack_asr else task
+            step_task = task
+            if task == "asr" and pack_asr:
+                step_task = "asr_packed"
+            elif task == "tts" and pack_tts:
+                step_task = "tts_packed"
             fn, state, frozen = shard_step(
                 make_calm_step(model, tx, step_task,
                                microbatch=t.microbatch_steps),
@@ -234,6 +240,21 @@ def main(argv=None):
                 position_ids=np.zeros((R, T), i32),
                 ctx_idx=np.zeros((R, S, t_aud), i32),
             )
+        if task == "tts_packed":
+            R, T, S = d.tts_pack_rows, d.tts_pack_len, d.tts_pack_segments
+            i32, f32 = np.int32, np.float32
+            return dict(
+                task=task,
+                latents=np.zeros((R, S, t_aud, m.latent_dim), f32),
+                audio_mask=np.zeros((R, S, t_aud), i32),
+                text_mask=np.ones((R, S, L), i32),
+                tok_ids=np.zeros((R, T), i32),
+                kind=np.zeros((R, T), i32),
+                segment_ids=np.zeros((R, T), i32),
+                position_ids=np.zeros((R, T), i32),
+                ctx_idx=np.zeros((R, S, L), i32),
+                soa_idx=np.zeros((R, S), i32),
+            )
         return dict(
             task=task,
             text_ids=np.zeros((B, L), np.int32),
@@ -285,11 +306,10 @@ def main(argv=None):
         )
         if len(eval_ds):
             # eval always runs the unpacked forward (batches come from the
-            # plain iterator below), so map asr_packed -> asr
+            # plain iterator below), so map *_packed -> solo task
             eval_steps = {
                 task: jax.jit(make_calm_eval_step(model, task))
-                for task in {"asr" if s == "asr_packed" else s
-                             for s in steps}
+                for task in {s.removesuffix("_packed") for s in steps}
             }
 
             def eval_fn(state):
@@ -329,6 +349,9 @@ def main(argv=None):
             asr_pack_rows=d.asr_pack_rows if pack_asr else 0,
             asr_pack_len=d.asr_pack_len,
             asr_pack_segments=d.asr_pack_segments,
+            tts_pack_rows=d.tts_pack_rows if pack_tts else 0,
+            tts_pack_len=d.tts_pack_len,
+            tts_pack_segments=d.tts_pack_segments,
             process_index=jax.process_index(), process_count=n_proc,
         ))
 

@@ -13,7 +13,11 @@ import jax.numpy as jnp
 import pytest
 
 from audio_calm_tpu.config import CALMModelConfig, LoRAConfig, Qwen2Config
-from audio_calm_tpu.data.collator import calm_batch_iterator, pack_asr_window
+from audio_calm_tpu.data.collator import (
+    calm_batch_iterator,
+    pack_asr_window,
+    pack_tts_window,
+)
 from audio_calm_tpu.data.datasets import CalmExample
 from audio_calm_tpu.models.calm import QwenCALM
 
@@ -412,6 +416,398 @@ def test_packed_microbatch_weights_slices_by_valid_tokens():
     np.testing.assert_allclose(
         float(metrics["grad_norm"]), float(optax.global_norm(g0)),
         rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# TTS packing: several [text|SOA] segments per LLM row; the MAS/duration/flow
+# tail still sees each utterance solo (per-slot audio grid)
+# ---------------------------------------------------------------------------
+
+def _tts_examples(text_lens, audio_lens, latent_dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for tl, al in zip(text_lens, audio_lens):
+        out.append(CalmExample(
+            input_ids=rng.integers(1, 200, (tl,)).astype(np.int32),
+            labels=np.zeros((0,), np.int32),
+            audio=rng.standard_normal((al, latent_dim)).astype(np.float32),
+            mode="tts",
+        ))
+    return out
+
+
+def test_pack_tts_window_layout_invariants():
+    """Each packed segment is a contiguous [text|SOA] span with restarting
+    positions; the ctx/soa gathers address it; rows respect the budget."""
+    exs = _tts_examples([5, 3, 6, 2, 4, 6, 1, 5], [9, 6, 12, 3, 7, 5, 2, 11],
+                        seed=1)
+    rows, row_len, segs = 2, 18, 3
+    batch, left = pack_tts_window(exs, rows, row_len, segs, 16, 8,
+                                  max_text_len=6)
+    packed = 0
+    for r in range(rows):
+        used = 0
+        for s in range(segs):
+            n = int(batch["text_mask"][r, s].sum())
+            if n == 0:
+                # dummy slot: gathers point at the appended zero position
+                assert (batch["ctx_idx"][r, s] == row_len).all()
+                assert batch["soa_idx"][r, s] == row_len
+                continue
+            packed += 1
+            used += n + 1
+            ctx = batch["ctx_idx"][r, s, :n]
+            assert (np.diff(ctx) == 1).all()
+            assert (batch["kind"][r, ctx] == 1).all()
+            # pad tail of the ctx gather points at the zero position
+            assert (batch["ctx_idx"][r, s, n:] == row_len).all()
+            t0 = ctx[0]
+            assert batch["kind"][r, t0 + n] == 2  # SOA after the text
+            assert batch["soa_idx"][r, s] == t0 + n
+            span = slice(t0, t0 + n + 1)
+            assert (batch["segment_ids"][r, span] == s + 1).all()
+            assert (batch["position_ids"][r, span] == np.arange(n + 1)).all()
+        assert used <= row_len
+        pad = batch["segment_ids"][r] == 0
+        assert (batch["kind"][r, pad] == 0).all()
+    assert packed + len(left) == len(exs)
+    assert packed == rows * segs  # FFD fills all 6 slots from 8 candidates
+    assert len(left) == 2
+    # per-slot audio landed on the t_aud grid with its own mask
+    assert batch["latents"].shape == (rows, segs, 16, 8)
+    assert (batch["audio_mask"].sum(-1) <= 16).all()
+
+
+def test_pack_tts_rejects_too_small_rows():
+    with pytest.raises(ValueError, match="tts_pack_len"):
+        pack_tts_window(_tts_examples([4], [8]), 1, 6, 2, 16, 8,
+                        max_text_len=6)
+
+
+@pytest.fixture(scope="module")
+def tiny_calm_tts():
+    cfg = CALMModelConfig(
+        latent_dim=8,
+        max_audio_len=16,
+        max_text_len=6,
+        tts_flow_hidden_dim=32,
+        tts_flow_num_layers=2,
+        asr_flow_hidden_dim=32,
+        asr_flow_num_layers=2,
+        flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+        latent_mean=0.04,
+        latent_std=1.19,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "flow": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    B, T_txt, T_aud = 2, 6, 16
+    params = model.init(
+        rngs,
+        jnp.zeros((B, T_txt), jnp.int32),
+        jnp.ones((B, T_txt), jnp.int32),
+        jnp.zeros((B, T_aud, 8), jnp.float32),
+        jnp.ones((B, T_aud), jnp.int32),
+        train=False,
+        method=QwenCALM.forward_tts,
+    )["params"]
+    # zero-init DiT out_proj would make the flow loss blind to the
+    # condition; perturb the TTS head so packing bugs show in the loss
+    leaves, treedef = jax.tree_util.tree_flatten(params["tts_flow_head"])
+    key = jax.random.PRNGKey(7)
+    noised = [
+        l + 0.02 * jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype)
+        for i, l in enumerate(leaves)
+    ]
+    params["tts_flow_head"] = jax.tree_util.tree_unflatten(treedef, noised)
+    return model, {"params": params}
+
+
+def _solo_from_packed_tts(packed, max_text_len):
+    """Reconstruct the per-utterance solo batch in slot order."""
+    R, S, T_aud, D = packed["latents"].shape
+    B = R * S
+    text_ids = np.zeros((B, max_text_len), np.int32)
+    for r in range(R):
+        for s in range(S):
+            n = int(packed["text_mask"][r, s].sum())
+            text_ids[r * S + s, :n] = packed["tok_ids"][
+                r, packed["ctx_idx"][r, s, :n]]
+    return dict(
+        text_ids=text_ids,
+        attention_mask=packed["text_mask"].reshape(B, max_text_len),
+        latents=packed["latents"].reshape(B, T_aud, D),
+        audio_mask=packed["audio_mask"].reshape(B, T_aud),
+    )
+
+
+def test_forward_tts_packed_matches_solo(tiny_calm_tts):
+    """Packed losses (all three terms) == solo forward_tts on the same
+    utterances in slot order (fp32, same rng => identical flow draws;
+    identical masked sims => identical MAS alignment)."""
+    model, variables = tiny_calm_tts
+    exs = _tts_examples([5, 3, 6, 2], [9, 6, 12, 3], seed=3)
+    packed, left = pack_tts_window(exs, 2, 14, 2, 16, 8, max_text_len=6)
+    assert not left
+    solo = _solo_from_packed_tts(packed, 6)
+
+    flow = jax.random.PRNGKey(11)
+    out_solo = model.apply(
+        variables, solo["text_ids"], solo["attention_mask"],
+        solo["latents"], solo["audio_mask"],
+        train=False, rngs={"flow": flow}, method=QwenCALM.forward_tts,
+    )
+    out_packed = model.apply(
+        variables, packed["latents"], packed["audio_mask"],
+        packed["text_mask"], packed["tok_ids"], packed["kind"],
+        packed["segment_ids"], packed["position_ids"],
+        packed["ctx_idx"], packed["soa_idx"],
+        train=False, rngs={"flow": flow},
+        method=QwenCALM.forward_tts_packed,
+    )
+    for k in ("loss", "loss_tts", "loss_len", "loss_dur"):
+        a, b = float(out_solo[k]), float(out_packed[k])
+        assert a == pytest.approx(b, rel=1e-4), (k, a, b)
+    assert float(out_packed["loss_den"]) == 4.0
+
+    # sensitivity control: corrupting one segment's context gather must
+    # move the loss, or the equality above proves nothing
+    bad = dict(packed)
+    ci = packed["ctx_idx"].copy()
+    ci[0, 0] = (ci[0, 0] + 5) % 14
+    bad["ctx_idx"] = ci
+    out_bad = model.apply(
+        variables, bad["latents"], bad["audio_mask"], bad["text_mask"],
+        bad["tok_ids"], bad["kind"], bad["segment_ids"],
+        bad["position_ids"], bad["ctx_idx"], bad["soa_idx"],
+        train=False, rngs={"flow": flow},
+        method=QwenCALM.forward_tts_packed,
+    )
+    assert abs(float(out_bad["loss"]) - float(out_packed["loss"])) > 1e-6
+
+
+def test_forward_tts_packed_with_dummy_slots(tiny_calm_tts):
+    """Underfull windows leave empty segments: finite loss, loss_den counts
+    only real utterances, and the loss equals the same 3 utterances packed
+    without the dummy slot (global denominators ignore dummies)."""
+    model, variables = tiny_calm_tts
+    exs = _tts_examples([5, 3, 6], [9, 6, 12], seed=4)
+    packed, left = pack_tts_window(exs, 2, 14, 2, 16, 8, max_text_len=6)
+    assert not left
+    assert int(packed["text_mask"].any(-1).sum()) == 3
+    out = model.apply(
+        variables, packed["latents"], packed["audio_mask"],
+        packed["text_mask"], packed["tok_ids"], packed["kind"],
+        packed["segment_ids"], packed["position_ids"],
+        packed["ctx_idx"], packed["soa_idx"],
+        train=False, rngs={"flow": jax.random.PRNGKey(11)},
+        method=QwenCALM.forward_tts_packed,
+    )
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["loss_den"]) == 3.0
+
+
+class _TTSPackDataset:
+    """In-memory stand-in; audio value idx+1 identifies items."""
+
+    def __init__(self, audio_lens, text_lens, max_text_len=6,
+                 max_audio_len=16):
+        self.max_text_len = max_text_len
+        self.max_audio_len = max_audio_len
+        self.tts_items = list(audio_lens)
+        self.asr_items = []
+        self.text_lens = list(text_lens)
+        self.asr_prompt_ids = PROMPT
+
+    def get(self, mode, idx):
+        return CalmExample(
+            input_ids=np.full((self.text_lens[idx],), idx % 7 + 1, np.int32),
+            labels=np.zeros((0,), np.int32),
+            audio=np.full((self.tts_items[idx], 8), idx + 1, np.float32),
+            mode="tts",
+        )
+
+
+def test_packed_tts_iterator_coverage_buckets():
+    """The iterator emits task='tts_packed' batches; every drawn example
+    lands in exactly one slot across the epoch; with buckets + grouping the
+    per-group audio grid is the smallest bucket that fits."""
+    rng = np.random.default_rng(5)
+    a_lens = [int(x) for x in rng.integers(2, 17, size=40)]
+    t_lens = [int(x) for x in rng.integers(1, 7, size=40)]
+    ds = _TTSPackDataset(a_lens, t_lens)
+    seen = []
+    for b in calm_batch_iterator(
+        ds, batch_size=4, pad_token_id=0, latent_dim=8, task_prob_tts=1.0,
+        training=False, seed=0, epochs=1,
+        audio_buckets=[4, 8, 16], length_group_window=2,
+        tts_pack_rows=2, tts_pack_len=20, tts_pack_segments=3,
+    ):
+        assert b["task"] == "tts_packed"
+        t_aud = b["latents"].shape[2]
+        assert t_aud in (4, 8, 16)
+        ids = b["latents"][..., 0, 0][b["audio_mask"][..., 0] > 0]
+        for v in ids:
+            idx = int(v) - 1
+            seen.append(idx)
+            assert a_lens[idx] <= t_aud  # bucket fits every item
+    assert len(seen) == len(set(seen))
+    assert len(seen) >= 40 - 2 * 3
+    assert set(seen) <= set(range(40))
+
+
+def test_tts_packed_training_trajectory_matches_solo():
+    """Packed and solo TTS TRAINING trajectories match step-for-step (same
+    utterances, same rng): 12 optimizer steps through both programs."""
+    import optax
+
+    from audio_calm_tpu.train.optim import partition_params
+    from audio_calm_tpu.train.steps import init_train_state, make_calm_step
+
+    exs = _tts_examples([5, 3, 6, 2, 4, 6, 1, 5], [9, 6, 12, 3, 7, 5, 2, 11],
+                        seed=8)
+    packed, left = pack_tts_window(exs, 4, 14, 2, 16, 8, max_text_len=6)
+    assert not left
+    solo = {k: jnp.asarray(v)
+            for k, v in _solo_from_packed_tts(packed, 6).items()}
+    cfg = CALMModelConfig(
+        latent_dim=8, max_audio_len=16, max_text_len=6,
+        tts_flow_hidden_dim=32, tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+        cfg_dropout_prob=0.0,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        solo["text_ids"], solo["attention_mask"], solo["latents"],
+        solo["audio_mask"],
+        train=False, method=QwenCALM.forward_tts)["params"]
+
+    def run(task, batch):
+        trainable, frozen = partition_params(
+            params, lambda k: "train" if k[0] != "llm" else "freeze")
+        tx = optax.adam(3e-3)
+        state = init_train_state(trainable, tx)
+        step = jax.jit(make_calm_step(model, tx, task))
+        losses = []
+        for _ in range(12):
+            state, m = step(state, frozen, batch, jax.random.PRNGKey(42))
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    ls = run("tts", solo)
+    lp = run("tts_packed", {k: jnp.asarray(v) for k, v in packed.items()})
+    assert np.max(np.abs(ls - lp)) < 5e-3, (ls, lp)
+
+
+def test_tts_packed_microbatch_dummy_tail():
+    """FFD fills rows front-to-back, so the microbatch tail slice can be
+    ALL dummy slots. Packed-TTS slices are built against the FULL batch's
+    global denominators and simply sum: with slice 1 entirely dummy, the
+    step's loss/grads equal slice 0's alone."""
+    import optax
+
+    from audio_calm_tpu.train.optim import merge_partitions, partition_params
+    from audio_calm_tpu.train.steps import init_train_state, make_calm_step
+
+    cfg = CALMModelConfig(
+        latent_dim=8, max_audio_len=16, max_text_len=6,
+        tts_flow_hidden_dim=32, tts_flow_num_layers=1,
+        asr_flow_hidden_dim=32, asr_flow_num_layers=1, flow_num_heads=4,
+        qwen=Qwen2Config.tiny(vocab_size=256),
+        lora=LoRAConfig(rank=2, alpha=4, dropout=0.0),
+        cfg_dropout_prob=0.0,
+    )
+    model = QwenCALM(cfg, dtype=jnp.float32)
+    # 4 utterances FFD-pack into rows 0-1; rows 2-3 stay dummy, so the
+    # microbatch=2 split puts ALL real content in slice 0
+    exs = _tts_examples([5, 3, 6, 2], [9, 6, 12, 3], seed=11)
+    packed, left = pack_tts_window(exs, 4, 14, 2, 16, 8, max_text_len=6)
+    assert not left
+    real_rows = packed["text_mask"].reshape(4, -1).sum(-1) > 0
+    assert list(real_rows) == [True, True, False, False]
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "flow": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        packed["latents"], packed["audio_mask"], packed["text_mask"],
+        packed["tok_ids"], packed["kind"], packed["segment_ids"],
+        packed["position_ids"], packed["ctx_idx"], packed["soa_idx"],
+        train=False, method=QwenCALM.forward_tts_packed,
+    )["params"]
+    trainable, frozen = partition_params(
+        params, lambda k: "train" if k[0] != "llm" else "freeze")
+    tx = optax.adam(1e-3)
+    state = init_train_state(trainable, tx)
+    step = jax.jit(make_calm_step(model, tx, "tts_packed", microbatch=2))
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    rng = jax.random.PRNGKey(9)
+    _, metrics = step(state, frozen, batch, rng)
+
+    # manual slice-0 forward/backward with the body's exact rng folds and
+    # the FULL batch's global denominators
+    r = jax.random.fold_in(jax.random.fold_in(rng, 0), 0)  # step 0, slice 0
+    rngs = {"flow": jax.random.fold_in(r, 0),
+            "dropout": jax.random.fold_in(r, 1)}
+    slice0 = {k: v[:2] for k, v in batch.items()}
+    dens = (
+        jnp.maximum(batch["text_mask"].any(-1).astype(jnp.float32).sum(), 1.0),
+        jnp.maximum(batch["audio_mask"].astype(jnp.float32).sum(), 1.0),
+    )
+
+    def loss0(tr):
+        out = model.apply(
+            {"params": merge_partitions(tr, frozen)},
+            slice0["latents"], slice0["audio_mask"], slice0["text_mask"],
+            slice0["tok_ids"], slice0["kind"], slice0["segment_ids"],
+            slice0["position_ids"], slice0["ctx_idx"], slice0["soa_idx"],
+            global_den=dens,
+            train=True, rngs=rngs, method=QwenCALM.forward_tts_packed,
+        )
+        return out["loss"], out
+
+    (l0, out0), g0 = jax.value_and_grad(loss0, has_aux=True)(trainable)
+    assert float(out0["loss_den"]) == 4.0
+    np.testing.assert_allclose(float(metrics["loss"]), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["loss_den"]), 4.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(optax.global_norm(g0)),
+        rtol=1e-4)
+
+
+def test_tts_pack_config_falls_back_multihost():
+    """Multi-host runs disable TTS packing too: plain 'tts' batches,
+    identical to the no-pack iterator."""
+    rng = np.random.default_rng(3)
+    a_lens = [int(x) for x in rng.integers(2, 17, 24)]
+    t_lens = [int(x) for x in rng.integers(1, 7, 24)]
+
+    def batches(rank, **kw):
+        ds = _TTSPackDataset(a_lens, t_lens)
+        return list(calm_batch_iterator(
+            ds, batch_size=4, pad_token_id=0, latent_dim=8,
+            task_prob_tts=1.0, training=False, seed=7, epochs=1,
+            process_index=rank, process_count=2, **kw))
+
+    with_pack = [batches(r, tts_pack_rows=2, tts_pack_len=20,
+                         tts_pack_segments=3) for r in (0, 1)]
+    without = [batches(r) for r in (0, 1)]
+    for rank in (0, 1):
+        assert len(with_pack[rank]) == len(without[rank]) > 0
+        for bp, bn in zip(with_pack[rank], without[rank]):
+            assert bp["task"] == "tts"
+            for k in bp:
+                if k == "task":
+                    continue
+                np.testing.assert_array_equal(bp[k], bn[k])
 
 
 def test_pack_config_falls_back_multihost():
