@@ -219,8 +219,8 @@ def main(argv=None):
 
     pack = None
     if args.pack:
-        if args.task != "asr":
-            p.error("--pack requires --task asr")
+        if args.task == "vae":
+            p.error("--pack requires --task asr or tts")
         pack = tuple(int(x) for x in args.pack.split(","))
         if len(pack) != 3:
             p.error("--pack wants ROWS,LEN,SEGS")
@@ -244,7 +244,7 @@ def main(argv=None):
     tx = make_optimizer(t_cfg, trainable, label, 1000)
     state = init_train_state(trainable, tx)
     mesh = make_mesh()
-    step_task = "asr_packed" if pack else args.task
+    step_task = f"{args.task}_packed" if pack else args.task
     step, state, frozen = shard_step(
         make_calm_step(model, tx, step_task, microbatch=K), mesh, state,
         frozen)
@@ -255,6 +255,142 @@ def main(argv=None):
     frozen_sd = jax.tree.map(lambda a: sd(a.shape, a.dtype), frozen)
 
     rng = jax.random.PRNGKey(1)
+
+    if pack and args.task == "tts":
+        # Packed TTS: texts FFD-pack into LLM rows (token budget), the
+        # audio/DiT side stays per-slot on the bucketed grid — so the
+        # measurement is per audio bucket like the solo bucketed table,
+        # with the fold replaying the collator's group-sort + bucket +
+        # text-FFD decisions (collator.calm_batch_iterator tts branch).
+        from audio_calm_tpu.data.collator import pack_tts_window
+        from audio_calm_tpu.data.datasets import CalmExample
+
+        rows, row_len, segs = pack
+        # text-token model for synthetic corpora: the ChatML TTS prompt
+        # wrapper (datasets.TTS_PROMPT_TEMPLATE) is ~13 tokens; read
+        # speech carries ~2.5 words/s x ~1.3 BPE tokens/word
+        TOK0, TOK_PER_S = 13, 3.3
+
+        def tok_of(frames):
+            return int(np.clip(np.round(TOK0 + frames / FPS * TOK_PER_S),
+                               14, m.max_text_len))
+
+        buckets = sorted(int(x) for x in args.buckets.split(","))
+
+        def fold_packed_tts(frames):
+            """Replay the collator's packed-TTS decisions (window sort ->
+            row-set groups -> bucket per group -> text FFD, leftovers
+            carried into the next window pool)."""
+            gsize = rows * segs
+            window = args.group_window
+            i, carry, pendings = 0, [], []
+            steps_by: dict = {}
+            utts = tok_used = n_groups = frames_used = frames_cap = 0
+            lens = list(frames)
+            while True:
+                if not pendings:
+                    want = gsize * max(window, 1)
+                    pool, carry = carry, []
+                    while len(pool) < want and i < len(lens):
+                        pool.append(lens[i])
+                        i += 1
+                    if not pool:
+                        break
+                    if window > 0:
+                        pool.sort()
+                    pendings = [pool[j:j + gsize]
+                                for j in range(0, len(pool), gsize)]
+                group = pendings.pop(0)
+                t_aud = next((b for b in buckets if b >= max(group)),
+                             buckets[-1])
+                caps, cnt, left = [row_len] * rows, [0] * rows, []
+                for n in sorted(group, key=lambda x: -tok_of(x)):
+                    cost = tok_of(n) + 1
+                    for r in range(rows):
+                        if cnt[r] < segs and caps[r] >= cost:
+                            caps[r] -= cost
+                            cnt[r] += 1
+                            break
+                    else:
+                        left.append(n)
+                steps_by[t_aud] = steps_by.get(t_aud, 0) + 1
+                n_groups += 1
+                utts += len(group) - len(left)
+                tok_used += rows * row_len - sum(caps)
+                frames_used += (sum(min(n, t_aud) for n in group)
+                                - sum(min(n, t_aud) for n in left))
+                frames_cap += rows * segs * t_aud
+                carry.extend(left)
+            return steps_by, utts, tok_used, n_groups, frames_used, frames_cap
+
+        tmin_by = {}
+        for t_aud in buckets:
+            npr = np.random.default_rng(t_aud)
+            pool = [
+                CalmExample(
+                    input_ids=np.ones((tok_of(n),), np.int32),
+                    labels=np.zeros((0,), np.int32),
+                    audio=npr.normal(size=(int(n), m.latent_dim)).astype(
+                        np.float32),
+                    mode="tts",
+                )
+                for n in npr.integers(max(t_aud // 2, 8), t_aud + 1,
+                                      rows * segs)
+            ]
+            batch_np, _left = pack_tts_window(
+                pool, rows, row_len, segs, t_aud, m.latent_dim,
+                m.max_text_len)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            sd_of = lambda a: sd(a.shape, a.dtype)
+            flops = lowered_flops(probe, state_sd, frozen_sd,
+                                  jax.tree.map(sd_of, batch),
+                                  sd((2,), jnp.uint32))
+            print(f"compile tts pack rows={rows} len={row_len} segs={segs} "
+                  f"t_aud={t_aud} ...", file=sys.stderr, flush=True)
+            t0 = time.time()
+            state, out = step(state, frozen, batch, rng)
+            loss = float(np.asarray(out["loss"]))
+            print(f"  compiled+ran in {time.time() - t0:.1f}s "
+                  f"loss={loss:.4f}", file=sys.stderr, flush=True)
+            times = []
+            for _ in range(args.steps):
+                t0 = time.time()
+                state, out = step(state, frozen, batch, rng)
+                np.asarray(out["loss"])
+                times.append(time.time() - t0)
+            tmin = min(times)
+            tmin_by[t_aud] = tmin
+            rec = {
+                "task": "tts_packed", "rows": rows, "row_len": row_len,
+                "segments": segs, "microbatch": K, "t_aud": t_aud,
+                "step_min_s": round(tmin, 4),
+                "step_mean_s": round(sum(times) / len(times), 4),
+            }
+            if flops:
+                rec["step_tflops"] = round(flops / 1e12, 2)
+                if peak:
+                    rec["mfu_pct"] = round(100 * flops / tmin / peak, 1)
+            print(json.dumps(rec), flush=True)
+        if args.fold:
+            (steps_by, utts, tok, n_groups, fr_used,
+             fr_cap) = fold_packed_tts(fold_lengths())
+            total_t = sum(n * tmin_by[b] for b, n in steps_by.items())
+            print(json.dumps({
+                "task": "tts_packed", "rows": rows, "row_len": row_len,
+                "segments": segs, "microbatch": K,
+                "fold": args.fold, "fold_sigma": args.fold_sigma,
+                "group_window": args.group_window,
+                "tok_model": f"{TOK0}+{TOK_PER_S}/s",
+                "fold_bucket_steps": {str(k): v
+                                      for k, v in sorted(steps_by.items())},
+                "fold_utts_per_step": round(utts / n_groups, 2),
+                "fold_token_occupancy_pct": round(
+                    100 * tok / (n_groups * rows * row_len), 1),
+                "fold_frame_occupancy_pct": round(
+                    100 * fr_used / max(fr_cap, 1), 1),
+                "fold_samples_per_s": round(utts / total_t, 2),
+            }), flush=True)
+        return 0
 
     if pack:
         from audio_calm_tpu.data.collator import pack_asr_window
