@@ -254,6 +254,48 @@ def pack_tts_window(
     return batch, leftover
 
 
+def estimate_packed_steps_per_epoch(
+    dataset: CalmDataset,
+    task: str,
+    rows: int,
+    row_len: int,
+    segments: int,
+    sample: int = 128,
+    fill: float = 0.9,
+    seed: int = 0,
+) -> int:
+    """Estimate optimizer steps one epoch of the packed iterator takes.
+
+    A packed step consumes ~rows x row_len/mean_cost utterances, not
+    batch_size — without this, num_train_epochs x (n_items/batch_size)
+    over-runs the configured passes over the data several-fold. Costs are
+    sampled from `sample` real items (tokens for TTS, latent frames +
+    prompt for ASR); `fill` discounts FFD fragmentation (measured 0.87
+    TTS / 0.97 ASR — 0.9 keeps the estimate conservative either way).
+    The LR schedule uses this estimate; the STOP is exact regardless
+    (the iterator exhausts after its `epochs` passes)."""
+    items = dataset.tts_items if task == "tts" else dataset.asr_items
+    n = len(items)
+    if n == 0:
+        return 0
+    rng = np.random.default_rng(seed)
+    costs = []
+    for i in rng.permutation(n)[:sample]:
+        ex = dataset.get(task, int(i))
+        if ex is None:
+            continue
+        if task == "tts":
+            costs.append(min(len(ex.input_ids), dataset.max_text_len) + 1)
+        else:
+            costs.append(min(len(ex.audio), dataset.max_audio_len) + 1
+                         + len(dataset.asr_prompt_ids))
+    if not costs:
+        return max(n // max(rows * segments, 1), 1)
+    per_row = max(row_len * fill / float(np.mean(costs)), 1.0)
+    utts = max(min(rows * segments, int(rows * per_row)), 1)
+    return max(int(np.ceil(n / utts)), 1)
+
+
 def calm_batch_iterator(
     dataset: CalmDataset,
     batch_size: int,

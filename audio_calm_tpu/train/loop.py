@@ -124,6 +124,8 @@ def run_training(
     last_train_loss: Optional[float] = None
     t_last = time.perf_counter()
     step_idx = int(state.step)
+    start_step = step_idx
+    saved_at = None
     peak_flops = None
     if step_flops is not None:
         from audio_calm_tpu.utils.profiling import device_peak_flops
@@ -191,6 +193,19 @@ def run_training(
                     if track_best and tracked is not None else None
                 ),
             )
+            saved_at = step_idx
+    # epoch-bounded (packed) runs end on iterator exhaustion, usually off
+    # the save_steps grid — checkpoint the final state so resume/best-model
+    # retention see it
+    if step_idx != saved_at and step_idx > start_step:
+        tracked = last_tracked if last_tracked is not None else last_train_loss
+        save_train_state(
+            manager, step_idx, state.trainable, state.opt_state,
+            metrics=(
+                {metric_name: float(tracked)}
+                if track_best and tracked is not None else None
+            ),
+        )
     manager.wait_until_finished()
 
     # load_best_model_at_end (reference calm_config.yaml:135-137)

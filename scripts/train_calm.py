@@ -125,6 +125,58 @@ def main(argv=None):
     steps_per_epoch = max(n_items // global_bs, 1)
     total_steps = args.max_steps or int(steps_per_epoch * t.num_train_epochs)
 
+    n_proc = jax.process_count()
+    # sequence packing replaces the bucketed programs (single-host only,
+    # like buckets/grouping — the collator disables it multi-host)
+    pack_asr = d.asr_pack_rows > 0 and n_proc == 1
+    pack_tts = d.tts_pack_rows > 0 and n_proc == 1
+    need = mesh.shape["data"] * max(t.microbatch_steps, 1)
+    for name, rows, on in (("asr", d.asr_pack_rows, pack_asr),
+                           ("tts", d.tts_pack_rows, pack_tts)):
+        if on and rows % need:
+            raise ValueError(
+                f"data.{name}_pack_rows={rows} must be divisible "
+                f"by data devices x microbatch_steps = {need}"
+            )
+
+    # a packed step consumes ~rows x fill x row_len/mean_cost utterances,
+    # not global_bs: size the LR schedule from a sampled-cost estimate and
+    # make the STOP exact by bounding the iterator at num_train_epochs
+    # passes (run_training stops on iterator exhaustion; the step cap gets
+    # 25% headroom so estimate error never truncates the last epoch)
+    epochs_arg = None
+    loop_cap = total_steps
+    if not args.max_steps and (pack_asr or pack_tts):
+        from audio_calm_tpu.data.collator import (
+            estimate_packed_steps_per_epoch,
+        )
+
+        spe = 0
+        for task in ("tts", "asr"):
+            if d.task_mode not in (task, "mix"):
+                continue
+            n_task = len(ds.tts_items if task == "tts" else ds.asr_items)
+            if n_task == 0:
+                continue
+            packed_on = pack_tts if task == "tts" else pack_asr
+            if packed_on:
+                rows, rl, segs = (
+                    (d.tts_pack_rows, d.tts_pack_len, d.tts_pack_segments)
+                    if task == "tts"
+                    else (d.asr_pack_rows, d.asr_pack_len,
+                          d.asr_pack_segments)
+                )
+                spe += estimate_packed_steps_per_epoch(
+                    ds, task, rows, rl, segs)
+            else:
+                spe += max(n_task // global_bs, 1)
+        total_steps = max(int(np.ceil(spe * t.num_train_epochs)), 1)
+        epochs_arg = max(int(np.ceil(t.num_train_epochs)), 1)
+        loop_cap = int(np.ceil(total_steps * 1.25))
+        print(f"packing: ~{spe} steps/epoch (sampled-cost estimate) -> "
+              f"LR schedule over {total_steps} steps; stop after "
+              f"{epochs_arg} exact epochs (cap {loop_cap})")
+
     label = lambda k: calm_param_label(
         k, task_mode=d.task_mode, freeze_projector=m.freeze_projector
     )
@@ -155,20 +207,6 @@ def main(argv=None):
 
     tx = make_optimizer(t, trainable, label, total_steps)
     state = init_train_state(trainable, tx)
-
-    n_proc = jax.process_count()
-    # sequence packing replaces the bucketed ASR program (single-host only,
-    # like buckets/grouping — the collator disables it multi-host)
-    pack_asr = d.asr_pack_rows > 0 and n_proc == 1
-    pack_tts = d.tts_pack_rows > 0 and n_proc == 1
-    need = mesh.shape["data"] * max(t.microbatch_steps, 1)
-    for name, rows, on in (("asr", d.asr_pack_rows, pack_asr),
-                           ("tts", d.tts_pack_rows, pack_tts)):
-        if on and rows % need:
-            raise ValueError(
-                f"data.{name}_pack_rows={rows} must be divisible "
-                f"by data devices x microbatch_steps = {need}"
-            )
 
     steps = {}
     for task in ("tts", "asr"):
@@ -343,6 +381,10 @@ def main(argv=None):
             ds, global_bs, tokenizer.pad_token_id or 0, m.latent_dim,
             task_prob_tts=d.task_prob_tts, training=True,
             seed=t.seed + 1_000_003 * start_step,
+            # packed runs stop on exact epoch exhaustion (the step count
+            # per epoch is data-dependent); a resumed run gets up to
+            # epochs_arg more passes, still bounded by the step cap
+            epochs=epochs_arg,
             audio_buckets=d.audio_buckets,
             length_group_window=d.length_group_window,
             asr_text_pad=d.asr_text_pad,
@@ -356,7 +398,7 @@ def main(argv=None):
         ))
 
     state = run_training(
-        None, state, batches, t, total_steps, jax.random.PRNGKey(t.seed),
+        None, state, batches, t, loop_cap, jax.random.PRNGKey(t.seed),
         frozen=frozen, step_selector=step_selector, batch_filter=batch_filter,
         eval_fn=eval_fn, step_flops=step_flops,
     )

@@ -783,6 +783,42 @@ def test_tts_packed_microbatch_dummy_tail():
         rtol=1e-4)
 
 
+def test_estimate_packed_steps_per_epoch_tracks_iterator():
+    """The sampled-cost schedule estimate lands near the true packed step
+    count per epoch (the naive n_items/batch_size over-runs configured
+    epochs several-fold under packing — train_calm sizes the LR schedule
+    from this and stops on exact iterator exhaustion)."""
+    from audio_calm_tpu.data.collator import estimate_packed_steps_per_epoch
+
+    rng = np.random.default_rng(9)
+    n = 400
+    a_lens = [int(x) for x in rng.integers(2, 17, size=n)]
+    t_lens = [int(x) for x in rng.integers(1, 7, size=n)]
+
+    # TTS: costs from text tokens
+    ds = _TTSPackDataset(a_lens, t_lens)
+    est = estimate_packed_steps_per_epoch(ds, "tts", rows=2, row_len=20,
+                                          segments=3)
+    true = sum(1 for _ in calm_batch_iterator(
+        ds, batch_size=4, pad_token_id=0, latent_dim=8, task_prob_tts=1.0,
+        training=False, seed=0, epochs=1,
+        tts_pack_rows=2, tts_pack_len=20, tts_pack_segments=3,
+    ))
+    assert true > n // (2 * 3)  # packing really is denser than slot count
+    assert 0.6 * true <= est <= 1.5 * true, (est, true)
+
+    # ASR: costs from latent frames + the constant prompt
+    ds2 = _PackDataset(a_lens)
+    est2 = estimate_packed_steps_per_epoch(ds2, "asr", rows=2, row_len=42,
+                                           segments=3)
+    true2 = sum(1 for _ in calm_batch_iterator(
+        ds2, batch_size=4, pad_token_id=0, latent_dim=8, task_prob_tts=0.0,
+        training=False, seed=0, epochs=1,
+        asr_pack_rows=2, asr_pack_len=42, asr_pack_segments=3,
+    ))
+    assert 0.6 * true2 <= est2 <= 1.5 * true2, (est2, true2)
+
+
 def test_tts_pack_config_falls_back_multihost():
     """Multi-host runs disable TTS packing too: plain 'tts' batches,
     identical to the no-pack iterator."""
