@@ -285,7 +285,11 @@ class DataConfig:
     # prompt pad at all (the constant prompt rides unpadded). 0 = off;
     # asr_pack_rows is the number of packed rows per GLOBAL batch (the
     # packed analogue of batch_size; must divide by data-parallel devices
-    # x microbatch_steps). Single-host only, like buckets/grouping.
+    # x microbatch_steps, and by process_count multi-host). Multi-host
+    # packing stays ON when the latent store is header-readable (npz/npy
+    # — datasets.CalmDataset.meta): every process derives the identical
+    # FFD plan from metadata and loads only its own rows; .pt stores
+    # fall back to plain batches.
     asr_pack_rows: int = 0
     # tokens per packed row (>= max_audio_len + 1 + prompt length so the
     # longest utterance fits; 512 is MXU-friendly for the 384-frame grid)
@@ -299,7 +303,9 @@ class DataConfig:
     # quarter of it. The audio/DiT side stays per-slot and composes with
     # audio_buckets + length_group_window (groups sort by audio length
     # before their texts pack). 0 = off; rows per GLOBAL batch, must
-    # divide by data devices x microbatch_steps. Single-host only.
+    # divide by data devices x microbatch_steps (and process_count
+    # multi-host; same metadata-planned multi-host contract as
+    # asr_pack_rows).
     tts_pack_rows: int = 0
     # tokens per packed row (>= max_text_len + 1 so the longest text fits)
     tts_pack_len: int = 256

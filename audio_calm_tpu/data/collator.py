@@ -75,10 +75,36 @@ def collate_calm(
     }
 
 
-def pack_asr_window(
-    examples: List[CalmExample],
+def plan_pack(
+    costs: List[int], rows: int, row_len: int, segments: int
+) -> Tuple[List[List[int]], List[int]]:
+    """First-fit-decreasing pack of per-item token costs into `rows` rows
+    of `row_len` capacity, at most `segments` items per row.
+
+    -> (assign: per row the item positions in packing order, leftover
+    positions). Deterministic in the input order (stable sort), so every
+    process of a multi-host run derives the identical plan from identical
+    costs — the basis of metadata-planned multi-host packing."""
+    order = sorted(range(len(costs)), key=lambda i: -costs[i])
+    caps = [row_len] * rows
+    counts = [0] * rows
+    assign: List[List[int]] = [[] for _ in range(rows)]
+    leftover: List[int] = []
+    for i in order:
+        for r in range(rows):
+            if counts[r] < segments and caps[r] >= costs[i]:
+                assign[r].append(i)
+                caps[r] -= costs[i]
+                counts[r] += 1
+                break
+        else:
+            leftover.append(i)
+    return assign, leftover
+
+
+def materialize_asr_rows(
+    row_items: List[List[Optional[CalmExample]]],
     prompt_ids: np.ndarray,
-    rows: int,
     row_len: int,
     segments: int,
     seg_frames: int,
@@ -86,42 +112,13 @@ def pack_asr_window(
     max_text_len: int,
     training: bool = False,
     rng: Optional[np.random.Generator] = None,
-) -> Tuple[Dict[str, np.ndarray], List[int]]:
-    """First-fit-decreasing pack of ASR examples into `rows` LLM rows.
-
-    Each packed segment is [audio (exact length) | SOA | prompt] — no pad
-    tokens between segments, the constant prompt rides unpadded. Returns
-    (batch, leftover_indices): the static packed batch consumed by
-    QwenCALM.forward_asr_packed, and indices of examples that did not fit
-    (carried into the next window by the iterator). Index arrays are
-    row-local so any row subset (data-parallel shard, microbatch slice) is
-    self-contained.
-    """
+) -> Dict[str, np.ndarray]:
+    """Build the packed-ASR arrays for `row_items` rows (None = failed
+    load -> dummy slot the model masks out). Index arrays are row-local,
+    so any row subset — a multi-host process's own rows, a data-parallel
+    shard, a microbatch slice — is self-contained."""
+    rows = len(row_items)
     P = len(prompt_ids)
-    if row_len < seg_frames + 1 + P:
-        raise ValueError(
-            f"asr_pack_len={row_len} cannot fit a max-length segment "
-            f"({seg_frames} frames + SOA + {P}-token prompt)"
-        )
-    order = sorted(
-        range(len(examples)), key=lambda i: -len(examples[i].audio)
-    )
-    caps = [row_len] * rows
-    counts = [0] * rows
-    assign: List[List[int]] = [[] for _ in range(rows)]
-    leftover: List[int] = []
-    for i in order:
-        n = min(len(examples[i].audio), seg_frames)
-        cost = n + 1 + P
-        for r in range(rows):
-            if counts[r] < segments and caps[r] >= cost:
-                assign[r].append(i)
-                caps[r] -= cost
-                counts[r] += 1
-                break
-        else:
-            leftover.append(i)
-
     latents = np.zeros((rows, segments, seg_frames, latent_dim), np.float32)
     latent_mask = np.zeros((rows, segments, seg_frames), np.int32)
     labels = np.full((rows, segments, max_text_len), -100, np.int32)
@@ -133,10 +130,11 @@ def pack_asr_window(
     position_ids = np.zeros((rows, row_len), np.int32)
     ctx_idx = np.full((rows, segments, seg_frames), row_len, np.int32)
 
-    for r, idxs in enumerate(assign):
+    for r, items in enumerate(row_items):
         t = 0
-        for s, i in enumerate(idxs):
-            ex = examples[i]
+        for s, ex in enumerate(items):
+            if ex is None:  # failed load: dummy slot, masked out of loss
+                continue
             a = ex.audio[:seg_frames]
             if training and rng is not None:
                 a = spec_augment(a, rng)
@@ -155,7 +153,7 @@ def pack_asr_window(
             tok_ids[r, t + n + 1 : t + n + 1 + P] = prompt_ids
             t += n + 1 + P
 
-    batch = {
+    return {
         "latents": latents,
         "latent_mask": latent_mask,
         "labels": labels,
@@ -166,6 +164,41 @@ def pack_asr_window(
         "position_ids": position_ids,
         "ctx_idx": ctx_idx,
     }
+
+
+def pack_asr_window(
+    examples: List[CalmExample],
+    prompt_ids: np.ndarray,
+    rows: int,
+    row_len: int,
+    segments: int,
+    seg_frames: int,
+    latent_dim: int,
+    max_text_len: int,
+    training: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Dict[str, np.ndarray], List[int]]:
+    """First-fit-decreasing pack of ASR examples into `rows` LLM rows.
+
+    Each packed segment is [audio (exact length) | SOA | prompt] — no pad
+    tokens between segments, the constant prompt rides unpadded. Returns
+    (batch, leftover_indices): the static packed batch consumed by
+    QwenCALM.forward_asr_packed, and indices of examples that did not fit
+    (carried into the next window by the iterator).
+    """
+    P = len(prompt_ids)
+    if row_len < seg_frames + 1 + P:
+        raise ValueError(
+            f"asr_pack_len={row_len} cannot fit a max-length segment "
+            f"({seg_frames} frames + SOA + {P}-token prompt)"
+        )
+    costs = [min(len(e.audio), seg_frames) + 1 + P for e in examples]
+    assign, leftover = plan_pack(costs, rows, row_len, segments)
+    batch = materialize_asr_rows(
+        [[examples[i] for i in idxs] for idxs in assign],
+        prompt_ids, row_len, segments, seg_frames, latent_dim,
+        max_text_len, training=training, rng=rng,
+    )
     return batch, leftover
 
 
@@ -192,24 +225,28 @@ def pack_tts_window(
             f"tts_pack_len={row_len} cannot fit a max-length segment "
             f"({max_text_len} tokens + SOA)"
         )
-    order = sorted(
-        range(len(examples)), key=lambda i: -len(examples[i].input_ids)
+    costs = [min(len(e.input_ids), max_text_len) + 1 for e in examples]
+    assign, leftover = plan_pack(costs, rows, row_len, segments)
+    batch = materialize_tts_rows(
+        [[examples[i] for i in idxs] for idxs in assign],
+        row_len, segments, t_aud, latent_dim, max_text_len,
     )
-    caps = [row_len] * rows
-    counts = [0] * rows
-    assign: List[List[int]] = [[] for _ in range(rows)]
-    leftover: List[int] = []
-    for i in order:
-        cost = min(len(examples[i].input_ids), max_text_len) + 1
-        for r in range(rows):
-            if counts[r] < segments and caps[r] >= cost:
-                assign[r].append(i)
-                caps[r] -= cost
-                counts[r] += 1
-                break
-        else:
-            leftover.append(i)
+    return batch, leftover
 
+
+def materialize_tts_rows(
+    row_items: List[List[Optional[CalmExample]]],
+    row_len: int,
+    segments: int,
+    t_aud: int,
+    latent_dim: int,
+    max_text_len: int,
+) -> Dict[str, np.ndarray]:
+    """Build the packed-TTS arrays for `row_items` rows (None = failed
+    load -> dummy slot). Row-local indices: any row subset is
+    self-contained (multi-host process rows, DP shards, microbatch
+    slices)."""
+    rows = len(row_items)
     latents = np.zeros((rows, segments, t_aud, latent_dim), np.float32)
     audio_mask = np.zeros((rows, segments, t_aud), np.int32)
     text_mask = np.zeros((rows, segments, max_text_len), np.int32)
@@ -221,10 +258,11 @@ def pack_tts_window(
     ctx_idx = np.full((rows, segments, max_text_len), row_len, np.int32)
     soa_idx = np.full((rows, segments), row_len, np.int32)
 
-    for r, idxs in enumerate(assign):
+    for r, items in enumerate(row_items):
         t = 0
-        for s, i in enumerate(idxs):
-            ex = examples[i]
+        for s, ex in enumerate(items):
+            if ex is None:  # failed load: dummy slot, masked out of loss
+                continue
             ids = ex.input_ids[:max_text_len]
             n = len(ids)
             a = ex.audio[:t_aud]
@@ -240,7 +278,7 @@ def pack_tts_window(
             position_ids[r, t : t + n + 1] = np.arange(n + 1)
             t += n + 1
 
-    batch = {
+    return {
         "latents": latents,
         "audio_mask": audio_mask,
         "text_mask": text_mask,
@@ -251,7 +289,6 @@ def pack_tts_window(
         "ctx_idx": ctx_idx,
         "soa_idx": soa_idx,
     }
-    return batch, leftover
 
 
 def estimate_packed_steps_per_epoch(
@@ -345,9 +382,18 @@ def calm_batch_iterator(
     loads ONLY its batch_size/process_count rows (process_index slice).
     To keep the streams lock-stepped without cross-host agreement, corrupt
     items become zero-filled stubs instead of being backfilled (the
-    reference's dummy-batch behavior), and audio_buckets are ignored (bucket
-    choice would depend on rows other processes hold). Assemble yielded
-    shards into global arrays with parallel.mesh.shard_host_batch.
+    reference's dummy-batch behavior), and audio_buckets are ignored for
+    SOLO batches (bucket choice would depend on rows other processes
+    hold). Sequence packing STAYS ON multi-host when the store supports
+    header-only metadata (CalmDataset.supports_meta — npz/npy, not .pt)
+    and pack rows shard evenly: every process derives the identical pack
+    plan (FFD over tokenized-text / header-read-frame costs, shared order
+    stream) and materializes only its own rows, so grouping + buckets
+    keep working for the packed stream; a row owner's failed load becomes
+    a dummy slot in its own rows — invisible to other processes. Requires
+    identical corpus copies on every host (the same contract the shared
+    order stream already assumes). Assemble yielded shards into global
+    arrays with parallel.mesh.shard_host_batch.
     """
     if process_count > 1:
         if batch_size % process_count:
@@ -355,14 +401,41 @@ def calm_batch_iterator(
                 f"global batch {batch_size} not divisible by "
                 f"{process_count} processes"
             )
-        # bucket/window/packing choices would depend on rows other
-        # processes hold
+        # packed streams keep buckets/grouping (shared metadata plan);
+        # solo batches lose them (choices would depend on other rows)
+        pack_buckets = sorted(audio_buckets) if audio_buckets else None
+        pack_window = length_group_window
+
+        def _meta_ok(mode):  # stand-in datasets may lack supports_meta
+            fn = getattr(dataset, "supports_meta", None)
+            return callable(fn) and fn(mode)
+
+        if asr_pack_rows > 0 and not (
+                asr_pack_rows % process_count == 0 and _meta_ok("asr")):
+            asr_pack_rows = 0
+        if tts_pack_rows > 0 and not (
+                tts_pack_rows % process_count == 0 and _meta_ok("tts")):
+            tts_pack_rows = 0
         audio_buckets = None
         length_group_window = 0
-        asr_pack_rows = 0
-        tts_pack_rows = 0
-    if audio_buckets:
-        audio_buckets = sorted(audio_buckets)
+    else:
+        if audio_buckets:
+            audio_buckets = sorted(audio_buckets)
+        pack_buckets = audio_buckets
+        pack_window = length_group_window
+    if asr_pack_rows > 0:
+        _p = len(dataset.asr_prompt_ids)
+        if asr_pack_len < dataset.max_audio_len + 1 + _p:
+            raise ValueError(
+                f"asr_pack_len={asr_pack_len} cannot fit a max-length "
+                f"segment ({dataset.max_audio_len} frames + SOA + "
+                f"{_p}-token prompt)"
+            )
+    if tts_pack_rows > 0 and tts_pack_len < dataset.max_text_len + 1:
+        raise ValueError(
+            f"tts_pack_len={tts_pack_len} cannot fit a max-length segment "
+            f"({dataset.max_text_len} tokens + SOA)"
+        )
     # ASR prompt width: the prompt is the constant asr_prompt_ids, so the
     # width is content-independent (multi-host safe) — never narrower than
     # the prompt itself, so nothing is ever truncated
@@ -428,30 +501,58 @@ def calm_batch_iterator(
             if task == "asr" and asr_pack_rows > 0:
                 # sequence packing: draw a pool, FFD-pack into static rows,
                 # carry what didn't fit into the next window (tail pools at
-                # epoch end are emitted underfull rather than dropped)
+                # epoch end are emitted underfull rather than dropped).
+                # Pool entries are (payload, llm_tokens, frames): payload is
+                # the loaded example single-host, or the dataset index
+                # multi-host (metadata plan; owners load only their rows)
+                meta_mode = process_count > 1
+                P = len(dataset.asr_prompt_ids)
                 want = asr_pack_rows * asr_pack_segments
                 pool = pack_carry
                 pack_carry = []
                 while (len(pool) < want
                        and cursors[task] < len(orders[task])):
-                    ex = dataset.get(task, orders[task][cursors[task]])
+                    j = orders[task][cursors[task]]
                     cursors[task] += 1
-                    if ex is not None:
-                        pool.append(ex)
+                    if meta_mode:
+                        # unreadable header -> stub cost, kept in the plan
+                        # so every process plans identically; the owner's
+                        # failed load zero-masks the slot
+                        m = dataset.meta(task, j)
+                        pool.append((j,) + (m or (P, 1)))
+                    else:
+                        ex = dataset.get(task, j)
+                        if ex is not None:
+                            pool.append((
+                                ex, P,
+                                min(len(ex.audio), dataset.max_audio_len),
+                            ))
                 if not pool:
                     continue
-                batch, left = pack_asr_window(
-                    pool, dataset.asr_prompt_ids, asr_pack_rows,
-                    asr_pack_len, asr_pack_segments,
-                    dataset.max_audio_len, latent_dim,
-                    dataset.max_text_len,
-                    training=training, rng=aug_rng,
+                costs = [e[2] + 1 + P for e in pool]
+                assign, left = plan_pack(
+                    costs, asr_pack_rows, asr_pack_len, asr_pack_segments)
+                if meta_mode:
+                    rpp = asr_pack_rows // process_count
+                    mine = assign[process_index * rpp:
+                                  (process_index + 1) * rpp]
+                    row_items = [[dataset.get(task, pool[i][0])
+                                  for i in idxs] for idxs in mine]
+                else:
+                    row_items = [[pool[i][0] for i in idxs]
+                                 for idxs in assign]
+                batch = materialize_asr_rows(
+                    row_items, dataset.asr_prompt_ids, asr_pack_len,
+                    asr_pack_segments, dataset.max_audio_len, latent_dim,
+                    dataset.max_text_len, training=training, rng=aug_rng,
                 )
                 pack_carry = [pool[i] for i in left]
                 batch["task"] = "asr_packed"
                 # true utterance count for samples/sec accounting (the
-                # leading dim is packed ROWS, not samples)
-                batch["n_samples"] = len(pool) - len(left)
+                # leading dim is packed ROWS, not samples); multi-host it
+                # counts THIS process's loaded slots
+                batch["n_samples"] = sum(
+                    1 for row in row_items for ex in row if ex is not None)
                 yielded = True
                 yield batch
                 continue
@@ -459,42 +560,68 @@ def calm_batch_iterator(
                 # TTS packing composes with length grouping: the pool is
                 # sorted by audio length and sliced into row-set groups, so
                 # each group's audio pads to the smallest bucket that fits
-                # while its texts FFD-pack into the LLM rows
+                # while its texts FFD-pack into the LLM rows. Same
+                # (payload, llm_tokens, frames) entries as the ASR branch
+                meta_mode = process_count > 1
                 if not tts_pending:
                     gsize = tts_pack_rows * tts_pack_segments
-                    want = gsize * max(length_group_window, 1)
+                    want = gsize * max(pack_window, 1)
                     pool = tts_pack_carry
                     tts_pack_carry = []
                     while (len(pool) < want
                            and cursors[task] < len(orders[task])):
-                        ex = dataset.get(task, orders[task][cursors[task]])
+                        j = orders[task][cursors[task]]
                         cursors[task] += 1
-                        if ex is not None:
-                            pool.append(ex)
+                        if meta_mode:
+                            m = dataset.meta(task, j)
+                            pool.append((j,) + (m or (1, 1)))
+                        else:
+                            ex = dataset.get(task, j)
+                            if ex is not None:
+                                pool.append((
+                                    ex,
+                                    min(len(ex.input_ids),
+                                        dataset.max_text_len),
+                                    min(len(ex.audio),
+                                        dataset.max_audio_len),
+                                ))
                     if not pool:
                         continue
-                    if length_group_window > 0:
-                        pool.sort(key=lambda e: len(e.audio))  # stable
+                    if pack_window > 0:
+                        pool.sort(key=lambda e: e[2])  # stable, audio len
                     groups = [pool[i: i + gsize]
                               for i in range(0, len(pool), gsize)]
-                    if length_group_window > 0:
+                    if pack_window > 0:
                         group_rng.shuffle(groups)
                     tts_pending.extend(groups)
                 group = tts_pending.pop(0)
                 t_aud = dataset.max_audio_len
-                if audio_buckets:
-                    longest = max(len(e.audio) for e in group)
+                if pack_buckets:
+                    longest = max(e[2] for e in group)
                     t_aud = next(
-                        (b for b in audio_buckets if b >= longest),
+                        (b for b in pack_buckets if b >= longest),
                         dataset.max_audio_len,
                     )
-                batch, left = pack_tts_window(
-                    group, tts_pack_rows, tts_pack_len, tts_pack_segments,
-                    t_aud, latent_dim, dataset.max_text_len,
+                costs = [e[1] + 1 for e in group]
+                assign, left = plan_pack(
+                    costs, tts_pack_rows, tts_pack_len, tts_pack_segments)
+                if meta_mode:
+                    rpp = tts_pack_rows // process_count
+                    mine = assign[process_index * rpp:
+                                  (process_index + 1) * rpp]
+                    row_items = [[dataset.get(task, group[i][0])
+                                  for i in idxs] for idxs in mine]
+                else:
+                    row_items = [[group[i][0] for i in idxs]
+                                 for idxs in assign]
+                batch = materialize_tts_rows(
+                    row_items, tts_pack_len, tts_pack_segments, t_aud,
+                    latent_dim, dataset.max_text_len,
                 )
                 tts_pack_carry.extend(group[i] for i in left)
                 batch["task"] = "tts_packed"
-                batch["n_samples"] = len(group) - len(left)
+                batch["n_samples"] = sum(
+                    1 for row in row_items for ex in row if ex is not None)
                 yielded = True
                 yield batch
                 continue

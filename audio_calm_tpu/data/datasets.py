@@ -56,6 +56,51 @@ def scan_corpus(root_dir: str, subsets: str, mode: str) -> List[Dict]:
     return items
 
 
+def _npy_header_shape(f):
+    version = np.lib.format.read_magic(f)
+    if version == (1, 0):
+        shape, _, _ = np.lib.format.read_array_header_1_0(f)
+    else:
+        shape, _, _ = np.lib.format.read_array_header_2_0(f)
+    return shape
+
+
+def array_frames(path: str, key_priority=("latent", "mel")) -> Optional[int]:
+    """Leading-dim (time) length of a stored array WITHOUT loading it.
+
+    Reads only the npy header (~100 bytes; for npz, the zip member's
+    header — no decompression of the data section). Applies load_array's
+    (D, T) transpose heuristic so the result equals load_array(path).shape[0].
+    Returns None for unsupported formats (.pt needs a full torch.load) or
+    unreadable files — callers fall back to loading or treat the item as a
+    stub. This is what lets every process of a multi-host run compute the
+    same sequence-packing plan without loading other processes' rows."""
+    import zipfile
+
+    try:
+        if path.endswith(".npy"):
+            with open(path, "rb") as f:
+                shape = _npy_header_shape(f)
+        elif path.endswith(".npz"):
+            with zipfile.ZipFile(path) as z:
+                names = z.namelist()
+                member = next(
+                    (k + ".npy" for k in key_priority if k + ".npy" in names),
+                    names[0] if names else None,
+                )
+                if member is None:
+                    return None
+                with z.open(member) as f:
+                    shape = _npy_header_shape(f)
+        else:
+            return None
+    except Exception:
+        return None
+    if len(shape) == 2 and shape[0] in (64, 80, 128, 192):
+        return int(shape[1])
+    return int(shape[0]) if shape else None
+
+
 def load_array(path: str, key_priority=("latent", "mel")) -> np.ndarray:
     """Load a stored latent/mel as [T, D] float32.
 
@@ -138,6 +183,39 @@ class CalmDataset:
 
     def __len__(self):
         return len(self.asr_items) + len(self.tts_items)
+
+    def meta(self, mode: str, idx: int) -> Optional[tuple]:
+        """(LLM prompt tokens, capped latent frames) WITHOUT loading the
+        array (array_frames header read; text tokenized once and cached).
+
+        Everything a sequence-packing plan needs: with identical corpora,
+        every process of a multi-host run derives the identical plan from
+        meta alone and loads only its own rows' arrays. None when the
+        store format has no cheap header (.pt) or the header is
+        unreadable."""
+        items = self.tts_items if mode == "tts" else self.asr_items
+        item = items[idx]
+        if "meta" not in item:
+            frames = array_frames(item["file_path"])
+            if frames is None:
+                item["meta"] = None
+            else:
+                if mode == "tts":
+                    n_tok = len(self.tokenizer.encode(
+                        TTS_PROMPT_TEMPLATE.format(item["text"]),
+                        add_special_tokens=False,
+                    )[: self.max_text_len])
+                else:
+                    n_tok = len(self.asr_prompt_ids)
+                item["meta"] = (n_tok, min(frames, self.max_audio_len))
+        return item["meta"]
+
+    def supports_meta(self, mode: str) -> bool:
+        """True when the store supports header-only metadata reads (probes
+        the first few items — a single corrupt file must not disable it)."""
+        items = self.tts_items if mode == "tts" else self.asr_items
+        return any(self.meta(mode, i) is not None
+                   for i in range(min(len(items), 8)))
 
     def get(self, mode: str, idx: int) -> Optional[CalmExample]:
         items = self.tts_items if mode == "tts" else self.asr_items

@@ -126,10 +126,21 @@ def main(argv=None):
     total_steps = args.max_steps or int(steps_per_epoch * t.num_train_epochs)
 
     n_proc = jax.process_count()
-    # sequence packing replaces the bucketed programs (single-host only,
-    # like buckets/grouping — the collator disables it multi-host)
-    pack_asr = d.asr_pack_rows > 0 and n_proc == 1
-    pack_tts = d.tts_pack_rows > 0 and n_proc == 1
+
+    # sequence packing replaces the bucketed programs. Multi-host it stays
+    # on when every process can derive the shared pack plan from metadata
+    # (header-readable store) and rows shard evenly — this mirrors the
+    # collator's own gate exactly, so the step program set matches the
+    # batches the iterator will emit
+    def _pack_on(task, rows):
+        if rows <= 0:
+            return False
+        if n_proc == 1:
+            return True
+        return rows % n_proc == 0 and ds.supports_meta(task)
+
+    pack_asr = _pack_on("asr", d.asr_pack_rows)
+    pack_tts = _pack_on("tts", d.tts_pack_rows)
     need = mesh.shape["data"] * max(t.microbatch_steps, 1)
     for name, rows, on in (("asr", d.asr_pack_rows, pack_asr),
                            ("tts", d.tts_pack_rows, pack_tts)):

@@ -32,6 +32,13 @@ class StubTok:
 LATENT_DIM = 8
 GLOBAL_BATCH = 4
 N_STEPS = 3
+# packed leg: metadata-planned multi-host sequence packing (rows shard
+# across processes; the corrupt item 5's unreadable header rides the plan
+# as a stub cost and its owner zero-masks the slot). StubTok encodes the
+# ASR prompt to 64 tokens, so a 2-segment row needs 2*(24+1+64)
+PACK = dict(asr_pack_rows=4, asr_pack_len=192, asr_pack_segments=2,
+            tts_pack_rows=4, tts_pack_len=40, tts_pack_segments=2)
+N_PACK_STEPS = 4
 
 
 def make_store(root):
@@ -111,7 +118,7 @@ def build_model_and_steps(mesh):
     tx = make_optimizer(tcfg, trainable, calm_param_label, total_steps=10)
     state = init_train_state(trainable, tx)
     steps = {}
-    for task in ("tts", "asr"):
+    for task in ("tts", "asr", "tts_packed", "asr_packed"):
         fn, state, frozen = shard_step(
             make_calm_step(model, tx, task), mesh, state, frozen)
         steps[task] = fn
@@ -133,6 +140,21 @@ def make_iterator(ds, process_index, process_count):
         task_prob_tts=0.5, training=True, seed=0,
         process_index=process_index, process_count=process_count,
     )
+
+
+def make_packed_iterator(ds, process_index, process_count):
+    from audio_calm_tpu.data.collator import calm_batch_iterator
+
+    return calm_batch_iterator(
+        ds, GLOBAL_BATCH, StubTok.pad_token_id, LATENT_DIM,
+        task_prob_tts=0.5, training=True, seed=1,
+        audio_buckets=[8, 16, 24], length_group_window=2,
+        process_index=process_index, process_count=process_count, **PACK,
+    )
+
+
+def filter_packed(batch):
+    return {k: v for k, v in batch.items() if k not in ("task", "n_samples")}
 
 
 def main():
@@ -171,10 +193,29 @@ def main():
         losses.append(float(metrics["loss"]))
     assert len(losses) == N_STEPS and all(np.isfinite(l) for l in losses)
 
+    # packed leg: every process derives the SAME pack plan from metadata
+    # and ships only its own rows; the corrupt item's owner zero-masks
+    # its slot without desyncing the other process
+    plosses = []
+    pit = make_packed_iterator(ds, jax.process_index(), nproc)
+    for i, b in enumerate(pit):
+        if i >= N_PACK_STEPS:
+            break
+        task = b["task"]
+        assert task in ("tts_packed", "asr_packed"), task
+        fb = filter_packed(b)
+        assert fb["latents"].shape[0] == PACK["asr_pack_rows"] // nproc
+        gb = shard_host_batch(fb, mesh)
+        state, metrics = steps[task](
+            state, frozen, gb, jax.random.PRNGKey(100 + i))
+        plosses.append(float(metrics["loss"]))
+    assert (len(plosses) == N_PACK_STEPS
+            and all(np.isfinite(l) for l in plosses))
+
     if jax.process_index() == 0:
         with open(out_file, "w") as f:
-            f.write(repr(losses))
-    print(f"[worker {pid}] done, losses={losses}")
+            f.write(repr({"solo": losses, "packed": plosses}))
+    print(f"[worker {pid}] done, losses={losses} packed={plosses}")
 
 
 if __name__ == "__main__":

@@ -133,8 +133,10 @@ def test_two_process_calm_data_path(tmp_path):
         outs.append(out.decode())
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
-    mp_losses = ast.literal_eval(open(out_file).read())
+    payload = ast.literal_eval(open(out_file).read())
+    mp_losses, mp_packed = payload["solo"], payload["packed"]
     assert len(mp_losses) == W.N_STEPS
+    assert len(mp_packed) == W.N_PACK_STEPS
 
     # host-side comparator: zip the two shard iterators, concat in rank
     # order, run the identical steps on a 4-device single-process mesh
@@ -172,3 +174,23 @@ def test_two_process_calm_data_path(tmp_path):
     assert saw_stub, "corrupt item never exercised the zero-stub path"
     for a, b in zip(mp_losses, ref_losses):
         assert abs(a - b) < 1e-4, (mp_losses, ref_losses)
+
+    # packed comparator: the metadata-planned multi-host packing must
+    # produce the same global batches (and losses) as a host-side assembly
+    # of the identical rank iterators, continuing from the solo state
+    pit0 = W.make_packed_iterator(ds, 0, 2)
+    pit1 = W.make_packed_iterator(ds, 1, 2)
+    ref_packed = []
+    for i, (b0, b1) in enumerate(zip(pit0, pit1)):
+        if i >= W.N_PACK_STEPS:
+            break
+        assert b0["task"] == b1["task"]
+        gb = {
+            k: np.concatenate([b0[k], b1[k]])
+            for k in W.filter_packed(b0)
+        }
+        state, metrics = steps[b0["task"]](
+            state, frozen, gb, jax.random.PRNGKey(100 + i))
+        ref_packed.append(float(metrics["loss"]))
+    for a, b in zip(mp_packed, ref_packed):
+        assert abs(a - b) < 1e-4, (mp_packed, ref_packed)

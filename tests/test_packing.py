@@ -875,3 +875,123 @@ def test_pack_config_falls_back_multihost():
     for bp0, bp1 in zip(with_pack[0], with_pack[1]):
         assert bp0["latents"].shape == bp1["latents"].shape
         assert not np.array_equal(bp0["latents"], bp1["latents"])
+
+
+# ---------------------------------------------------------------------------
+# Multi-host packing: metadata-planned shared FFD (datasets.CalmDataset.meta
+# header reads), each process materializes only its own rows
+# ---------------------------------------------------------------------------
+
+class _ByteTok:
+    pad_token_id = 0
+
+    def encode(self, text, add_special_tokens=False):
+        return [(ord(c) % 60) + 1 for c in text]
+
+
+def _npz_store(root, n=24, seed=0, latent_dim=8):
+    import os
+
+    d = os.path.join(root, "dev", "1")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lines = []
+    for i in range(n):
+        fid = f"1-{i:04d}"
+        T = int(rng.integers(4, 17))
+        np.savez(os.path.join(d, fid + ".npz"),
+                 latent=rng.standard_normal((T, latent_dim)).astype(
+                     np.float32))
+        lines.append(f"{fid} sample number {i} {'pad ' * (i % 4)}")
+    with open(os.path.join(d, "1.trans.txt"), "w") as f:
+        f.write("\n".join(lines))
+    return root
+
+
+def _npz_dataset(root, task_mode):
+    from audio_calm_tpu.data.datasets import CalmDataset
+
+    return CalmDataset(
+        _ByteTok(), asr_latent_dir=root, asr_subsets="dev",
+        tts_latent_dir=root, tts_subsets="dev",
+        max_text_len=16, max_audio_len=24, task_mode=task_mode)
+
+
+_MH_KW = dict(batch_size=4, pad_token_id=0, latent_dim=8,
+              training=False, seed=3, epochs=1,
+              audio_buckets=[8, 16, 24], length_group_window=2)
+_MH_PK = {
+    "tts": dict(task_prob_tts=1.0, tts_pack_rows=4, tts_pack_len=40,
+                tts_pack_segments=2),
+    # _ByteTok encodes the constant ASR prompt to 75 tokens (real
+    # tokenizers: ~20), so a 2-segment row needs 2*(24+1+75)
+    "asr": dict(task_prob_tts=0.0, asr_pack_rows=4, asr_pack_len=200,
+                asr_pack_segments=2),
+}
+
+
+@pytest.mark.parametrize("task", ["tts", "asr"])
+def test_multihost_packed_matches_single(tmp_path, task):
+    """Two rank iterators' rows concatenate to exactly the single-process
+    packed batches (same plan from metadata, same bucket grids): the FFD
+    plan over header-read frames + tokenized texts equals the plan over
+    loaded examples, and row materialization is row-local."""
+    root = _npz_store(str(tmp_path))
+    kw = {**_MH_KW, **_MH_PK[task]}
+    single = list(calm_batch_iterator(_npz_dataset(root, task), **kw))
+    ranks = [list(calm_batch_iterator(
+        _npz_dataset(root, task), **kw,
+        process_index=r, process_count=2)) for r in (0, 1)]
+    assert len(single) == len(ranks[0]) == len(ranks[1]) > 0
+    for bs, b0, b1 in zip(single, ranks[0], ranks[1]):
+        assert bs["task"] == b0["task"] == b1["task"] == f"{task}_packed"
+        assert b0["n_samples"] + b1["n_samples"] == bs["n_samples"] > 0
+        for k in bs:
+            if k in ("task", "n_samples"):
+                continue
+            np.testing.assert_array_equal(
+                np.concatenate([b0[k], b1[k]]), bs[k], err_msg=k)
+
+
+def test_multihost_packed_corrupt_slot_stubs_owner_locally(
+        tmp_path, monkeypatch):
+    """A failed load affects ONLY the owner rank's rows (the plan is
+    metadata-derived, so shapes/buckets/segment layout never depend on
+    load success): the slot goes dummy on the owner, the other rank's
+    arrays are bit-identical to the clean run, and exactly one utterance
+    disappears from the epoch's sample count."""
+    from audio_calm_tpu.data.datasets import CalmDataset
+
+    root = _npz_store(str(tmp_path))
+    kw = {**_MH_KW, **_MH_PK["tts"]}
+
+    def run():
+        return [list(calm_batch_iterator(
+            _npz_dataset(root, "tts"), **kw,
+            process_index=r, process_count=2)) for r in (0, 1)]
+
+    clean = run()
+    real_get = CalmDataset.get
+
+    def failing(self, mode, idx, _real=real_get):
+        return None if idx == 7 else _real(self, mode, idx)
+
+    monkeypatch.setattr(CalmDataset, "get", failing)
+    broken = run()
+
+    n_clean = sum(b["n_samples"] for rank in clean for b in rank)
+    n_broken = sum(b["n_samples"] for rank in broken for b in rank)
+    assert n_broken == n_clean - 1
+    diffs = 0
+    for r in (0, 1):
+        assert len(clean[r]) == len(broken[r])
+        for bc, bb in zip(clean[r], broken[r]):
+            same = all(
+                np.array_equal(bc[k], bb[k])
+                for k in bc if k not in ("task", "n_samples"))
+            for k in bc:
+                if k in ("task", "n_samples"):
+                    continue
+                assert bc[k].shape == bb[k].shape, k  # plan is unchanged
+            diffs += not same
+    assert diffs == 1  # only the owner's rows changed
