@@ -177,8 +177,12 @@ def main(argv=None):
                     else (d.asr_pack_rows, d.asr_pack_len,
                           d.asr_pack_segments)
                 )
+                # measured FFD fill factors (BASELINE.md): ASR rows pack
+                # to 97% token occupancy, TTS to 87% (length-sorted
+                # groups strand near-equal residuals in every row)
                 spe += estimate_packed_steps_per_epoch(
-                    ds, task, rows, rl, segs)
+                    ds, task, rows, rl, segs,
+                    fill=0.87 if task == "tts" else 0.95)
             else:
                 spe += max(n_task // global_bs, 1)
         total_steps = max(int(np.ceil(spe * t.num_train_epochs)), 1)
