@@ -122,6 +122,16 @@ def test_shipped_tts_training_uses_sequence_packing():
         assert d.tts_pack_segments >= 2, name
 
 
+def test_shipped_training_stores_frozen_bf16():
+    """Every BASELINE.md train number was measured with bf16 frozen-param
+    storage (the compute path casts to bf16 regardless; fp32 masters
+    nearly double frozen HBM and OOM'd big-bucket recipes)."""
+    for name in ("configs/asr.yaml", "configs/calm.yaml",
+                 "configs/tts.yaml"):
+        cfg = load_config(name, cls=CALMConfig)
+        assert cfg.training.frozen_weights_dtype == "bfloat16", name
+
+
 def test_shipped_training_uses_length_grouped_buckets():
     """The training configs ship the measured bucketed-batch recipe:
     a bucket ladder topping out at max_audio_len plus a length-group
