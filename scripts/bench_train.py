@@ -48,6 +48,11 @@ def main(argv=None):
                    help="size down the Qwen2 backbone (default: flagship 28)")
     p.add_argument("--frozen-dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--remat", default="full",
+                   choices=("full", "dots", "none"),
+                   help="backbone remat policy (model.remat_policy); 'none' "
+                        "skips the backward recompute pass at the cost of "
+                        "storing per-layer activations")
     p.add_argument("--text-pad", type=int, default=None,
                    help="LLM prompt width (asr: data.asr_text_pad recipe; "
                         "default max_text_len)")
@@ -229,6 +234,7 @@ def main(argv=None):
                     f"--microbatch {K}")
 
     m = flagship_config(num_llm_layers=args.llm_layers)
+    m.remat_policy = args.remat
     model = QwenCALM(m, dtype=jnp.bfloat16)
     print("init params...", file=sys.stderr, flush=True)
     params = init_calm_params(model, jax.random.PRNGKey(0))
@@ -363,6 +369,7 @@ def main(argv=None):
             rec = {
                 "task": "tts_packed", "rows": rows, "row_len": row_len,
                 "segments": segs, "microbatch": K, "t_aud": t_aud,
+                "remat": args.remat,
                 "step_min_s": round(tmin, 4),
                 "step_mean_s": round(sum(times) / len(times), 4),
             }
@@ -438,6 +445,7 @@ def main(argv=None):
         rec = {
             "task": "asr_packed", "rows": rows, "row_len": row_len,
             "segments": segs, "microbatch": K, "prompt_len": P,
+            "remat": args.remat,
             "step_min_s": round(tmin, 4),
             "step_mean_s": round(sum(times) / len(times), 4),
         }
@@ -495,7 +503,7 @@ def main(argv=None):
         tmin = min(times)
         rec = {
             "task": args.task, "batch": B, "microbatch": K, "t_aud": t_aud,
-            "text_pad": t_txt,
+            "text_pad": t_txt, "remat": args.remat,
             "step_min_s": round(tmin, 4),
             "step_mean_s": round(sum(times) / len(times), 4),
             "samples_per_s": round(B / tmin, 1),
