@@ -65,12 +65,16 @@ def _npy_header_shape(f):
     return shape
 
 
-def array_frames(path: str, key_priority=("latent", "mel")) -> Optional[int]:
+def array_frames(
+    path: str, key_priority=("latent", "mel"),
+    expected_dim: Optional[int] = None,
+) -> Optional[int]:
     """Leading-dim (time) length of a stored array WITHOUT loading it.
 
     Reads only the npy header (~100 bytes; for npz, the zip member's
     header — no decompression of the data section). Applies load_array's
-    (D, T) transpose heuristic so the result equals load_array(path).shape[0].
+    (D, T) transpose heuristic (same expected_dim semantics) so the result
+    equals load_array(path).shape[0].
     Returns None for unsupported formats (.pt needs a full torch.load) or
     unreadable files — callers fall back to loading or treat the item as a
     stub. This is what lets every process of a multi-host run compute the
@@ -96,17 +100,46 @@ def array_frames(path: str, key_priority=("latent", "mel")) -> Optional[int]:
             return None
     except Exception:
         return None
-    if len(shape) == 2 and shape[0] in (64, 80, 128, 192):
+    if len(shape) == 2 and _is_dt_layout(shape, expected_dim):
         return int(shape[1])
     return int(shape[0]) if shape else None
 
 
-def load_array(path: str, key_priority=("latent", "mel")) -> np.ndarray:
+#: channel counts the layout heuristic recognizes (the reference's set,
+#: train_calm.py:143-144: 64/80/128/192 = known latent/mel dims)
+CHANNEL_DIMS = (64, 80, 128, 192)
+
+
+def _is_dt_layout(shape, expected_dim: Optional[int]) -> bool:
+    """True when a 2-D stored array is (D, T) and must be transposed to the
+    canonical [T, D].
+
+    The reference transposes whenever dim 0 is a known channel count
+    (train_calm.py:143-144) — which MISREADS any [T, D] store whose frame
+    count happens to be 64/80/128/192 (e.g. a 192-frame utterance with
+    128-dim latents loads as 128 frames of 192-dim garbage; found by a
+    flagship burn-in run, not replicated). With expected_dim (the
+    configured latent/mel dim) the layout is decided exactly; without it,
+    the heuristic only fires when dim 0 is a channel count and dim 1 is
+    NOT — the ambiguous both-in-set case stays [T, D], our preprocessor's
+    canonical layout."""
+    d0, d1 = int(shape[0]), int(shape[1])
+    if expected_dim is not None:
+        return d0 == expected_dim and d1 != expected_dim
+    return d0 in CHANNEL_DIMS and d1 not in CHANNEL_DIMS
+
+
+def load_array(
+    path: str, key_priority=("latent", "mel"),
+    expected_dim: Optional[int] = None,
+) -> np.ndarray:
     """Load a stored latent/mel as [T, D] float32.
 
-    Applies the reference's layout heuristic (train_calm.py:143-144): a 2-D
-    array whose dim 0 is a known channel count (64/80/128/192) is (D, T) and
-    gets transposed.
+    Layout: the reference transposes any 2-D array whose dim 0 is a known
+    channel count (train_calm.py:143-144) — see _is_dt_layout for why that
+    corrupts [T, D] stores with T in {64,80,128,192} and how expected_dim
+    (the configured latent/mel dim, passed by every product caller)
+    disambiguates exactly.
     """
     if path.endswith(".pt"):
         import torch
@@ -130,7 +163,7 @@ def load_array(path: str, key_priority=("latent", "mel")) -> np.ndarray:
     else:
         arr = np.load(path)
     arr = np.asarray(arr, np.float32)
-    if arr.ndim == 2 and arr.shape[0] in (64, 80, 128, 192):
+    if arr.ndim == 2 and _is_dt_layout(arr.shape, expected_dim):
         arr = arr.T
     return arr
 
@@ -159,11 +192,15 @@ class CalmDataset:
         max_audio_len: int = 384,
         task_mode: str = "mix",
         max_samples: Optional[int] = None,
+        latent_dim: Optional[int] = None,
     ):
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
         self.max_audio_len = max_audio_len
         self.task_mode = task_mode
+        # configured latent dim disambiguates the store layout exactly
+        # (see _is_dt_layout); None falls back to the channel heuristic
+        self.latent_dim = latent_dim
         self.asr_items = (
             scan_corpus(asr_latent_dir, asr_subsets, "asr")
             if task_mode in ("asr", "mix")
@@ -196,7 +233,8 @@ class CalmDataset:
         items = self.tts_items if mode == "tts" else self.asr_items
         item = items[idx]
         if "meta" not in item:
-            frames = array_frames(item["file_path"])
+            frames = array_frames(item["file_path"],
+                                  expected_dim=self.latent_dim)
             if frames is None:
                 item["meta"] = None
             else:
@@ -221,7 +259,8 @@ class CalmDataset:
         items = self.tts_items if mode == "tts" else self.asr_items
         item = items[idx]
         try:
-            audio = load_array(item["file_path"])
+            audio = load_array(item["file_path"],
+                               expected_dim=self.latent_dim)
         except Exception:
             return None  # corrupt sample -> skipped (reference returns stub)
         audio = audio[: self.max_audio_len]
@@ -250,9 +289,11 @@ class MelDataset:
     """Mel-crop dataset for VAE training (reference train_vae.py:27-107)."""
 
     def __init__(self, data_dir: str, subsets: str, crop_size: int = 256,
-                 training: bool = True, max_samples: Optional[int] = None):
+                 training: bool = True, max_samples: Optional[int] = None,
+                 n_mels: int = 80):
         self.crop_size = crop_size
         self.training = training
+        self.n_mels = n_mels  # disambiguates store layout (_is_dt_layout)
         self.files: List[str] = []
         for subset in [s.strip() for s in subsets.split(",") if s.strip()]:
             for ext in ARRAY_EXTS:
@@ -271,7 +312,8 @@ class MelDataset:
     def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """-> [crop_size, 80] (random crop train / center crop eval,
         zero-pad when short)."""
-        mel = load_array(self.files[idx], key_priority=("mel", "latent"))
+        mel = load_array(self.files[idx], key_priority=("mel", "latent"),
+                         expected_dim=self.n_mels)
         T = mel.shape[0]
         cs = self.crop_size
         if T >= cs:

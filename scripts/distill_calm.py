@@ -109,6 +109,7 @@ def main(argv=None):
         max_text_len=d.max_text_len,
         max_audio_len=d.max_audio_len,
         task_mode=task,
+        latent_dim=m.latent_dim,
     )
     if len(ds) == 0:
         print("no data found for the distillation task", file=sys.stderr)

@@ -99,7 +99,7 @@ def main(argv=None):
         )[: e.max_samples]
         rows, refs, preds = [], [], []
         for i, item in enumerate(data):
-            latent = load_array(item["file_path"])
+            latent = load_array(item["file_path"], expected_dim=m.latent_dim)
             pred = inf.asr(latent, jax.random.fold_in(rng, i),
                            steps=e.asr_steps, cfg_scale=e.asr_cfg_scale,
                            method=e.ode_method,

@@ -159,7 +159,7 @@ def main(argv=None):
     ds = CalmDataset(
         tokenizer, tts_latent_dir=tts.latent_dir, tts_subsets=tts.subsets,
         max_text_len=d.max_text_len, max_audio_len=d.max_audio_len,
-        task_mode="tts",
+        task_mode="tts", latent_dim=m.latent_dim,
     )
     model = QwenCALM(m, dtype=jnp.float32)
     params = init_calm_params(model, jax.random.PRNGKey(0))

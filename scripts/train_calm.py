@@ -89,6 +89,7 @@ def main(argv=None):
         max_text_len=d.max_text_len,
         max_audio_len=d.max_audio_len,
         task_mode=d.task_mode,
+        latent_dim=m.latent_dim,
     )
     n_items = len(ds)
     if n_items == 0:
@@ -356,6 +357,7 @@ def main(argv=None):
             max_text_len=d.max_text_len,
             max_audio_len=d.max_audio_len,
             task_mode=d.task_mode,
+            latent_dim=m.latent_dim,
         )
         if len(eval_ds):
             # eval always runs the unpacked forward (batches come from the

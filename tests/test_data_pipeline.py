@@ -471,3 +471,56 @@ def test_mel_training_iterator_raises_when_dataset_smaller_than_batch():
         next(it)
     assert list(mel_batch_iterator(_TinyMels(), batch_size=8,
                                    training=False, seed=0, epochs=1)) == []
+
+
+def test_layout_heuristic_ambiguous_frame_counts(tmp_path):
+    """A [T, D] store whose frame count is a known channel count
+    (64/80/128/192) must NOT be transposed.
+
+    The reference transposes whenever dim 0 is in the channel set
+    (train_calm.py:143-144), corrupting e.g. a 192-frame utterance of
+    128-dim latents into 128 frames of 192-dim garbage — found by a real
+    flagship burn-in (the fold corpus is full of 192-frame utterances) and
+    deliberately not replicated. expected_dim decides exactly; the
+    no-dim fallback treats the ambiguous both-in-set case as [T, D]."""
+    from audio_calm_tpu.data.datasets import array_frames
+
+    td = tmp_path / "amb"
+    td.mkdir()
+    # canonical [T=192, D=128] store
+    p_td = str(td / "a.npy")
+    np.save(p_td, np.arange(192 * 128, dtype=np.float32).reshape(192, 128))
+    # true reference-style (D=128, T=192) store
+    p_dt = str(td / "b.npy")
+    np.save(p_dt, np.arange(128 * 192, dtype=np.float32).reshape(128, 192))
+
+    assert load_array(p_td, expected_dim=128).shape == (192, 128)
+    assert load_array(p_dt, expected_dim=128).shape == (192, 128)
+    assert load_array(p_td).shape == (192, 128)  # ambiguous -> [T, D]
+    # header reads must agree with the loads, dim given or not
+    assert array_frames(p_td, expected_dim=128) == 192
+    assert array_frames(p_dt, expected_dim=128) == 192
+    assert array_frames(p_td) == 192
+    # unambiguous (D, T) stores still transpose without expected_dim
+    p_mel = str(td / "c.npy")
+    np.save(p_mel, np.zeros((80, 300), np.float32))
+    assert load_array(p_mel).shape == (300, 80)
+    assert array_frames(p_mel) == 300
+
+
+def test_calm_dataset_ambiguous_frame_count_roundtrip(tmp_path):
+    """CalmDataset(latent_dim=...) loads a 192-frame/128-dim utterance with
+    the right orientation end to end (burn-in regression)."""
+    base = tmp_path / "c" / "dev-clean" / "0" / "0"
+    base.mkdir(parents=True)
+    np.save(str(base / "u0.npy"),
+            np.random.default_rng(0).normal(size=(192, 128))
+            .astype(np.float32))
+    (base / "0.trans.txt").write_text("u0 hello world\n")
+    ds = CalmDataset(
+        StubTok(), asr_latent_dir=str(tmp_path / "c"), asr_subsets="dev-clean",
+        max_text_len=32, max_audio_len=384, task_mode="asr", latent_dim=128,
+    )
+    ex = ds.get("asr", 0)
+    assert ex.audio.shape == (192, 128)
+    assert ds.meta("asr", 0)[1] == 192
