@@ -325,6 +325,53 @@ def split_wav_for_asr(wav: np.ndarray, max_samples: int,
     return out
 
 
+def split_wav_for_asr_stream(pieces, max_samples: int,
+                             search_samples: Optional[int] = None,
+                             frame: int = 400, tagged: bool = False):
+    """Incremental split_wav_for_asr: consume an iterable of waveform
+    pieces (audio arriving over time) and yield decode chunks as soon as
+    each cut is decided.
+
+    Exactly equal to the offline splitter — the yielded chunks are
+    `split_wav_for_asr(concat(pieces), ...)` element for element — because
+    the offline algorithm is greedy left-to-right: each cut looks only at
+    the current `max_samples` window, so it is decidable the moment
+    `max_samples` of un-emitted audio has arrived (a cut fires while the
+    upload is still in flight; only the final <= max_samples chunk waits
+    for end-of-stream). Mirrors the (beyond-reference) long-form design:
+    the reference truncates audio at the 384-latent-frame budget
+    (eval_calm.py / calm_config.yaml max_speech_token_num).
+
+    tagged=True yields (chunk, is_final) instead of bare chunks. A
+    cut-produced chunk (is_final False) always has more audio behind it —
+    a cut leaves a non-empty remainder — which is what lets a streaming
+    consumer decode it immediately under asr_long's multi-chunk key
+    contract without waiting to learn the total chunk count.
+    """
+    if search_samples is None:
+        search_samples = max(frame, max_samples // 8)
+    buf = np.zeros(0, np.float32)
+    for piece in pieces:
+        piece = np.asarray(piece, np.float32)
+        buf = piece if not len(buf) else np.concatenate([buf, piece])
+        # buffered > max_samples guarantees the offline loop condition
+        # (n - pos > max_samples) whatever audio follows
+        while len(buf) > max_samples:
+            hi = max_samples
+            lo = max(hi - int(search_samples), 1)
+            seg = buf[lo:hi]
+            k = len(seg) // frame * frame
+            if k >= frame:
+                rms = np.square(seg[:k].reshape(-1, frame)).mean(axis=1)
+                cut = lo + int(np.argmin(rms)) * frame + frame // 2
+            else:
+                cut = hi
+            yield (buf[:cut], False) if tagged else buf[:cut]
+            buf = buf[cut:]
+    # offline always appends the remainder (even when empty)
+    yield (buf, True) if tagged else buf
+
+
 def crossfade_stream(wavs, sample_rate: int = 16000,
                      crossfade_ms: float = 20.0):
     """Generator: equal-power crossfade over an iterable of waveform
@@ -833,3 +880,56 @@ class CALMInference:
                 time_schedule=time_schedule,
             ))
         return " ".join(t.strip() for t in texts if t.strip())
+
+    def asr_stream(self, pieces, rng: jax.Array, encode,
+                   max_wav_samples: int, steps: int = 20,
+                   cfg_scale: float = 1.0, method: str = "euler",
+                   time_schedule: str = "uniform",
+                   search_ms: float = 1500.0, sample_rate: int = 16000):
+        """Generator: incremental transcription of audio arriving over
+        time. `pieces` is an iterable of waveform arrays (e.g. decoded
+        HTTP upload chunks); each decode chunk is transcribed the moment
+        its low-energy cut is decided — while the rest of the audio is
+        still arriving — and its transcript yielded immediately.
+
+        Contract: ``" ".join(t for t in asr_stream(pieces, ...) if t)``
+        equals ``asr_long(concat(pieces), ...)`` — same cuts
+        (split_wav_for_asr_stream is exactly the offline splitter), same
+        per-chunk keys (single chunk decodes with `rng` itself, chunk i of
+        many with fold_in(rng, i)), and per-chunk decode equals the
+        grouped decode by asr_batch's batch-composition-invariance. When
+        `encode` batches chunks (serving.frontend), streamed per-chunk
+        encodes match grouped encodes to the frontend's masked-batching
+        tolerance (~6e-7 rel) rather than bit-exactly.
+
+        The first transcript lands after ~max_wav_samples of audio (the
+        first cut) instead of after the full upload — for an N-chunk
+        upload the final transcript needs 1 decode after end-of-stream
+        instead of N. (Beyond reference: eval_calm.py truncates at the
+        384-frame budget; no streaming exists there.)
+        """
+
+        def decode_one(chunk, key):
+            lat = encode([chunk])[0]
+            return self.asr_batch(
+                [lat], [key], steps=steps, cfg_scale=cfg_scale,
+                method=method, time_schedule=time_schedule,
+            )[0].strip()
+
+        i = 0
+        for chunk, is_final in split_wav_for_asr_stream(
+            pieces, int(max_wav_samples),
+            search_samples=int(search_ms / 1000.0 * sample_rate),
+            tagged=True,
+        ):
+            if not len(chunk):
+                continue  # only the EOS remainder can be empty
+            if not is_final:
+                # a cut guarantees more audio follows -> multi-chunk keys
+                yield decode_one(chunk, jax.random.fold_in(rng, i))
+            else:
+                # single-chunk streams decode with rng itself, matching
+                # the solo asr() / asr_long contract
+                key = rng if i == 0 else jax.random.fold_in(rng, i)
+                yield decode_one(chunk, key)
+            i += 1
