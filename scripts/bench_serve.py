@@ -166,6 +166,40 @@ def post_asr(base, wav_data, audio_s, seed, timeout=1800):
     return time.monotonic() - t0, audio_s
 
 
+def post_asr_stream(base, wav_data, audio_s, seed, timeout=1800):
+    """Chunked upload to streaming /asr, reading the NDJSON transcript
+    stream as it arrives. -> (ttft_s, audio_s): TTFT = first transcript
+    line (for a multi-chunk wav this lands while later chunks are still
+    decoding — the latency a live-captioning client feels)."""
+    import http.client
+    from urllib.parse import urlsplit
+
+    u = urlsplit(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=timeout)
+    t0 = time.monotonic()
+    conn.request(
+        "POST", f"/asr?seed={seed}",
+        body=(wav_data[i:i + 65536]
+              for i in range(0, len(wav_data), 65536)),
+        encode_chunked=True,
+        headers={"Content-Type": "audio/wav",
+                 "Transfer-Encoding": "chunked"})
+    r = conn.getresponse()
+    ttft = None
+    saw = b""
+    while True:
+        piece = r.read1(65536)  # read1: what's arrived, don't block full
+        if not piece:
+            break
+        saw += piece
+        if ttft is None and b"\n" in saw:
+            ttft = time.monotonic() - t0
+    conn.close()
+    if b'"done"' not in saw:
+        raise RuntimeError("asr stream ended without a done line")
+    return ttft, audio_s
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--base", default=None,
@@ -182,12 +216,16 @@ def main(argv=None):
                    help="timed requests per client")
     p.add_argument("--rounds", type=int, default=3,
                    help="identical timed rounds; best (min-wall) reported")
-    p.add_argument("--task", choices=("tts", "asr", "stream"), default="tts",
-                   help="stream: chunked /tts; latency percentiles are "
-                        "time-to-first-audio, text defaults to a long "
-                        "multi-chunk passage")
+    p.add_argument("--task",
+                   choices=("tts", "asr", "stream", "asr-stream"),
+                   default="tts",
+                   help="stream: chunked /tts (latency = time-to-first-"
+                        "audio); asr-stream: chunked-upload /asr "
+                        "(latency = time-to-first-transcript; default "
+                        "--audio-seconds 60 -> a multi-chunk wav)")
     p.add_argument("--audio-seconds", type=float, default=10.0,
-                   help="--task asr: uploaded utterance length")
+                   help="--task asr / asr-stream: uploaded utterance "
+                        "length (asr-stream defaults to 60)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=10.0)
     p.add_argument("--steps", type=int, default=None,
@@ -215,6 +253,12 @@ def main(argv=None):
 
         def do_req(seed):
             return post_asr(base, wav_data, wav_s, seed)
+    elif args.task == "asr-stream":
+        secs = args.audio_seconds if args.audio_seconds != 10.0 else 60.0
+        wav_data, wav_s = make_asr_wav(secs)
+
+        def do_req(seed):
+            return post_asr_stream(base, wav_data, wav_s, seed)
     elif args.task == "stream":
         stream_text = (args.text + " ") * 6  # force multi-chunk synthesis
 
@@ -293,8 +337,14 @@ def main(argv=None):
             with urllib.request.urlopen(base + "/stats", timeout=30) as r:
                 return json.load(r)
 
+        # device batch groups record under their run_group kind, not the
+        # client task name: streamed /tts chunks batch as "tts", streamed
+        # /asr decodes as "asr"
+        hist_kind = {"stream": "tts", "asr-stream": "asr"}.get(
+            args.task, args.task)
+
         def task_hist(stats):
-            return stats["batches"].get(args.task, {}).get("sizes", {})
+            return stats["batches"].get(hist_kind, {}).get("sizes", {})
 
         for n_clients in args.clients:
             best = None
@@ -335,6 +385,8 @@ def main(argv=None):
             }
             if args.task == "stream":
                 out["latency_is_ttfa"] = True
+            if args.task == "asr-stream":
+                out["latency_is_ttft"] = True
             print(json.dumps(out), flush=True)
     finally:
         if proc is not None:

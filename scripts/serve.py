@@ -6,6 +6,10 @@ Endpoints:
   POST /tts  {"text": ..., "steps"?, "cfg_scale"?, "seed"?, "stream"?}
                                                      -> audio/wav bytes
   POST /asr  (body: WAV bytes)                       -> {"text": ...}
+  POST /asr?stream=1  (or a chunked Transfer-Encoding upload)
+       -> NDJSON stream: {"chunk": i, "text": ...} per decode chunk as
+          soon as its transcript exists (mid-upload for long audio),
+          then {"done": true, "text": <joined>, "chunks": N}
 
 The reference ships only a (broken) gradio demo; this is the headless
 serving path: one process, jit-compiled once per static shape, requests
@@ -335,12 +339,24 @@ def main(argv=None):
         MAX_ASR_SAMPLES = 600 * 16000  # 10 min of 16 kHz audio
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
-            if n > self.MAX_BODY_BYTES:
-                return self._json(413, {"error": "body too large"})
-            body = self.rfile.read(n)
             route = self.path.split("?", 1)[0]
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            chunked = "chunked" in te
+            q = parse_qs(urlsplit(self.path).query)
+            want_stream = q.get("stream", ["0"])[0] not in ("", "0", "false")
             try:
+                if route == "/asr" and (chunked or want_stream):
+                    # streaming transcription: decode the body as it
+                    # arrives, emit NDJSON transcripts mid-upload
+                    return self._post_asr_stream(chunked)
+                if chunked:
+                    return self._json(411, {
+                        "error": "chunked upload is only supported on "
+                                 "streaming /asr"})
+                n = int(self.headers.get("Content-Length", 0))
+                if n > self.MAX_BODY_BYTES:
+                    return self._json(413, {"error": "body too large"})
+                body = self.rfile.read(n)
                 if route == "/tts":
                     return self._post_tts(body)
                 if route == "/asr":
@@ -536,6 +552,177 @@ def main(argv=None):
             self._json(200, {"text": " ".join(t for t in texts if t),
                              "chunks": len(chunks)})
             stats.record_request("asr", time.monotonic() - t0)
+
+        def _post_asr_stream(self, chunked):
+            """Streaming /asr: transcribe-as-you-upload. The body (chunked
+            Transfer-Encoding, or a Content-Length body read in pieces
+            with ?stream=1) decodes incrementally (WavStreamParser: strict
+            16 kHz PCM16 — the live-capture contract; other rates use the
+            buffered endpoint), low-energy cuts fire the moment a decode
+            window's audio has arrived (split_wav_for_asr_stream == the
+            offline splitter chunk-for-chunk), and each chunk's frontend +
+            flow decode rides the SAME batcher groups as buffered /asr —
+            so streamed chunks coalesce with concurrent traffic, and the
+            first transcript lands after ~one latent-budget window of
+            audio instead of after the full upload. NDJSON out: one
+            {"chunk": i, "text": ...} line per decode chunk, then
+            {"done": true, "text": <joined>, "chunks": N}.
+
+            Key contract == CALMInference.asr_stream / asr_long: chunk i
+            of many decodes with fold_in(base, i); a single-chunk stream
+            decodes with base itself — so the joined transcript equals the
+            buffered /asr of the whole wav for the same seed.
+
+            Emission granularity: completed transcripts flush when the
+            next body piece arrives (and all flush at end-of-stream) — a
+            live-rate uploader sees lines mid-upload; a paused uploader's
+            pending lines wait for its next piece.
+            """
+            import jax
+
+            from audio_calm_tpu.eval.infer import split_wav_for_asr_stream
+            from audio_calm_tpu.serving.wav_stream import WavStreamParser
+
+            t0 = time.monotonic()
+            q = parse_qs(urlsplit(self.path).query)
+            seed = q.get("seed", [None])[0]
+            if seed is not None:
+                try:
+                    seed = int(seed)
+                except ValueError:
+                    return self._json(400, {"error": "seed must be an int"})
+            base = next_key(seed)
+            parser = WavStreamParser()
+            state = {"sent": False, "ttft": None}
+
+            def emit(obj):
+                if not state["sent"]:
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-ndjson")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    state["sent"] = True
+                line = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(
+                    f"{len(line):x}\r\n".encode() + line + b"\r\n")
+
+            def body_bytes():
+                """Yield raw upload bytes as they arrive."""
+                if not chunked:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n > self.MAX_BODY_BYTES:
+                        raise ValueError("body too large")
+                    while n > 0:
+                        d = self.rfile.read(min(n, 1 << 16))
+                        if not d:
+                            raise ValueError("truncated body")
+                        n -= len(d)
+                        yield d
+                    return
+                total = 0
+                while True:
+                    size_line = self.rfile.readline(66)
+                    if not size_line or not size_line.endswith(b"\n"):
+                        raise ValueError("malformed chunked body")
+                    size = int(size_line.split(b";")[0].strip() or b"0",
+                               16)
+                    if size == 0:
+                        # trailers (if any) end at the blank line
+                        while self.rfile.readline(1026) not in (
+                                b"\r\n", b"\n", b""):
+                            pass
+                        return
+                    total += size
+                    if total > self.MAX_BODY_BYTES:
+                        raise ValueError("body too large")
+                    left = size
+                    while left:
+                        d = self.rfile.read(min(left, 1 << 16))
+                        if not d:
+                            raise ValueError("truncated chunked body")
+                        left -= len(d)
+                        yield d
+                    self.rfile.read(2)  # chunk-terminating CRLF
+
+            n_samples = [0]
+
+            def pieces():
+                for raw in body_bytes():
+                    # flush any completed transcripts on EVERY arriving
+                    # body piece (cuts are rare; emission must not wait
+                    # for the next cut — see the mid-upload test)
+                    pump(block=False)
+                    x = parser.feed(raw)
+                    if len(x):
+                        n_samples[0] += len(x)
+                        if n_samples[0] > self.MAX_ASR_SAMPLES:
+                            raise ValueError(
+                                f"audio exceeds "
+                                f"{self.MAX_ASR_SAMPLES // 16000} s")
+                        yield x
+
+            # in-flight pipeline: [chunk_i, fe_future, key, decode_future]
+            # rows; emission stays in chunk order. Device work is inside
+            # batcher futures, so reading the upload overlaps both stages.
+            pending = []
+            texts = []
+
+            def pump(block):
+                while pending:
+                    ent = pending[0]
+                    if ent[3] is None:
+                        if not (block or ent[1].done()):
+                            return
+                        ent[3] = batcher.submit(
+                            ("asr", e.asr_steps), (ent[1].result(), ent[2]))
+                    if not (block or ent[3].done()):
+                        return
+                    text = ent[3].result().strip()
+                    if state["ttft"] is None:
+                        state["ttft"] = time.monotonic() - t0
+                    texts.append(text)
+                    emit({"chunk": ent[0], "text": text})
+                    pending.pop(0)
+
+            i = 0
+            try:
+                for chunk, is_final in split_wav_for_asr_stream(
+                        pieces(), max_asr_samples,
+                        search_samples=16000 * 3 // 2, tagged=True):
+                    if len(chunk):
+                        key = (base if (is_final and i == 0)
+                               else jax.random.fold_in(base, i))
+                        b, p, n = prep_asr(chunk)
+                        pending.append(
+                            [i, batcher.submit(("fe", b), (p, n)), key,
+                             None])
+                        i += 1
+                    pump(block=False)
+                if i == 0 and not parser.in_data:
+                    raise ValueError("body must be WAV")
+                pump(block=True)
+                emit({"done": True,
+                      "text": " ".join(t for t in texts if t),
+                      "chunks": i})
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as ex:
+                if not state["sent"]:
+                    stats.record_request("asr_stream", 0.0, error=True)
+                    return self._json(400, {"error": str(ex)})
+                # headers are out: abort the connection (missing chunked
+                # terminator = client sees a truncated stream) instead of
+                # corrupting the framing with a second response
+                print(f"[serve] asr stream aborted: {ex}", file=sys.stderr)
+                stats.record_request("asr_stream", 0.0, error=True)
+                self.close_connection = True
+                return
+            if state["ttft"] is not None:
+                # time-to-first-transcript: the streaming-ASR latency
+                # clients feel — latency-only, never counts as a request
+                stats.record_latency("asr_stream_first_text",
+                                     state["ttft"])
+            stats.record_request("asr_stream", time.monotonic() - t0)
 
     # --port 0 binds an ephemeral port; the "serving on :<port>" line is the
     # contract test harnesses parse to find it

@@ -342,6 +342,138 @@ def test_asr_concurrent_requests_batch_safely(server):
     assert out == solos
 
 
+def _wav_body(pcm16, sr=16000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def test_asr_streaming_upload_matches_buffered(server):
+    """A chunked Transfer-Encoding /asr upload streams NDJSON transcripts:
+    one line per decode chunk in order, then a done line whose joined text
+    equals the buffered /asr of the same wav for the same seed (chunk keys
+    fold_in the seed identically on both paths)."""
+    import http.client
+
+    n = 3 * 32 * 1024  # 3x the biggest wav bucket -> >= 2 cuts
+    rng = np.random.default_rng(5)
+    pcm = (np.clip(rng.standard_normal(n) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    body = _wav_body(pcm)
+
+    req = urllib.request.Request(server + "/asr?seed=7", data=body,
+                                 headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        ref = json.load(r)
+
+    port = int(server.rsplit(":", 1)[1])
+    conn = http.client.HTTPConnection("localhost", port, timeout=600)
+    conn.request(
+        "POST", "/asr?seed=7",
+        body=(body[off:off + 9973] for off in range(0, len(body), 9973)),
+        encode_chunked=True,
+        headers={"Content-Type": "audio/wav",
+                 "Transfer-Encoding": "chunked"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/x-ndjson"
+    lines = [json.loads(l) for l in resp.read().decode().splitlines()]
+    conn.close()
+    done = lines[-1]
+    assert done["done"] is True
+    assert done["chunks"] == ref["chunks"] >= 2
+    chunk_lines = lines[:-1]
+    assert [l["chunk"] for l in chunk_lines] == list(range(done["chunks"]))
+    assert " ".join(t for t in (l["text"] for l in chunk_lines)
+                    if t) == done["text"]
+    assert done["text"] == ref["text"]
+
+
+def test_asr_stream_flag_single_chunk_matches_buffered(server):
+    """?stream=1 on a plain Content-Length body also streams; a wav inside
+    the latent budget is one chunk decoded with the base key, so its text
+    equals the buffered /asr for the same seed."""
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    pcm = (0.3 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+    body = _wav_body(pcm)
+    req = urllib.request.Request(server + "/asr?seed=3", data=body,
+                                 headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        ref = json.load(r)["text"]
+    req = urllib.request.Request(server + "/asr?stream=1&seed=3", data=body,
+                                 headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert lines[-1] == {"done": True, "text": ref, "chunks": 1}
+    assert lines[0] == {"chunk": 0, "text": ref}
+
+
+def test_asr_streaming_emits_mid_upload(server):
+    """The point of streaming ASR: a transcript line reaches the client
+    BEFORE the upload ends. Raw-socket chunked upload: send one decode
+    window of audio, then trickle silence until the first NDJSON line
+    arrives — only then terminate the upload."""
+    import socket
+
+    win = 32 * 1024  # biggest wav bucket in samples
+    rng = np.random.default_rng(11)
+    pcm = (np.clip(rng.standard_normal(win + 8192) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    body = _wav_body(pcm)
+    port = int(server.rsplit(":", 1)[1])
+    s = socket.create_connection(("localhost", port), timeout=600)
+
+    def send_chunk(data):
+        s.sendall(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+    s.sendall(b"POST /asr?seed=2 HTTP/1.1\r\nHost: localhost\r\n"
+              b"Transfer-Encoding: chunked\r\n"
+              b"Content-Type: audio/wav\r\n\r\n")
+    send_chunk(body)  # > one window of audio -> the first cut fires now
+    # the server flushes completed transcripts when the next body piece
+    # arrives: trickle 0.1 s silence pieces until the first line lands
+    s.settimeout(0.25)
+    silence = np.zeros(1600, np.int16).tobytes()
+    got = b""
+    deadline = time.time() + 300
+    while b'"text"' not in got and time.time() < deadline:
+        send_chunk(silence)
+        try:
+            got += s.recv(65536)
+        except socket.timeout:
+            pass
+    assert b'"text"' in got, "no transcript arrived before the upload ended"
+    s.sendall(b"0\r\n\r\n")  # NOW end the upload
+    s.settimeout(600)
+    while b'"done"' not in got:
+        d = s.recv(65536)
+        assert d, "connection closed before the done line"
+        got += d
+    s.close()
+    assert got.startswith(b"HTTP/1.1 200")
+
+
+def test_asr_stream_rejects_bad_input(server):
+    """Pre-stream failures are clean 400s: a non-WAV body, and a rate the
+    strict live-capture parser refuses (buffered /asr resamples instead)."""
+    for body in (b"definitely not a RIFF stream",
+                 _wav_body(np.zeros(8000, np.int16), sr=8000)):
+        req = urllib.request.Request(server + "/asr?stream=1", data=body,
+                                     headers={"Content-Type": "audio/wav"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as ex:
+            assert ex.code == 400
+
+
 def test_stats_endpoint(server):
     """GET /stats reflects the traffic the earlier tests generated:
     request counts per route, latency percentiles, and coalesced-batch
