@@ -308,6 +308,13 @@ def main(argv=None):
         # every non-streamed response sets Content-Length so keep-alive
         # semantics stay correct
         protocol_version = "HTTP/1.1"
+        # socket timeout for every blocking read/write on the connection
+        # (BaseHTTPRequestHandler.setup applies it): a client that stalls
+        # mid-upload — a streaming /asr body is read incrementally for
+        # potentially minutes — times out and aborts its handler thread
+        # instead of leaking it forever. 10 min covers the longest legal
+        # upload (MAX_ASR_SAMPLES) at live-capture rate.
+        timeout = 600
 
         def log_message(self, fmt, *a):
             print(f"[serve] {fmt % a}", file=sys.stderr)
