@@ -329,6 +329,12 @@ class TrainingConfig:
     # in-step microbatching: lax.scan grad accumulation inside ONE jitted
     # step (peak-HBM lever for the 481-token ASR backbone; 1 = off)
     microbatch_steps: int = 1
+    # per-task overrides (mix runs): tts/asr are separate jit programs, so
+    # each can run its own measured-optimal scan depth (BASELINE.md: packed
+    # TTS k=2 vs the ASR-driven k=8 costs +9.6% at t_aud=96). None = use
+    # microbatch_steps for that task too.
+    tts_microbatch_steps: Optional[int] = None
+    asr_microbatch_steps: Optional[int] = None
     # storage dtype of FROZEN params (the LLM base): "bfloat16" frees
     # ~3.1 GB of HBM on the flagship (compute is bf16 either way; only the
     # never-updated master copies change) — the memory lever that admits

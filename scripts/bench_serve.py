@@ -223,9 +223,9 @@ def main(argv=None):
                         "audio); asr-stream: chunked-upload /asr "
                         "(latency = time-to-first-transcript; default "
                         "--audio-seconds 60 -> a multi-chunk wav)")
-    p.add_argument("--audio-seconds", type=float, default=10.0,
+    p.add_argument("--audio-seconds", type=float, default=None,
                    help="--task asr / asr-stream: uploaded utterance "
-                        "length (asr-stream defaults to 60)")
+                        "length (default 10; asr-stream defaults to 60)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=10.0)
     p.add_argument("--steps", type=int, default=None,
@@ -249,13 +249,14 @@ def main(argv=None):
         print(json.dumps(obj), file=sys.stderr, flush=True)
 
     if args.task == "asr":
-        wav_data, wav_s = make_asr_wav(args.audio_seconds)
+        wav_data, wav_s = make_asr_wav(args.audio_seconds or 10.0)
 
         def do_req(seed):
             return post_asr(base, wav_data, wav_s, seed)
     elif args.task == "asr-stream":
-        secs = args.audio_seconds if args.audio_seconds != 10.0 else 60.0
-        wav_data, wav_s = make_asr_wav(secs)
+        # per-task default resolved only when the flag is unset, so an
+        # explicit --audio-seconds 10 is honored
+        wav_data, wav_s = make_asr_wav(args.audio_seconds or 60.0)
 
         def do_req(seed):
             return post_asr_stream(base, wav_data, wav_s, seed)

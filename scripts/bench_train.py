@@ -63,6 +63,11 @@ def main(argv=None):
                         "(data.asr_pack_rows/len/segments)")
     p.add_argument("--prompt-len", type=int, default=20,
                    help="packed mode: constant ASR prompt length in tokens")
+    p.add_argument("--tok-model", default="13,3.3", metavar="TOK0,PER_S",
+                   help="packed-TTS fold text-token model: prompt tokens = "
+                        "TOK0 + PER_S * seconds (default: Qwen BPE ChatML "
+                        "~13 + 3.3/s; a ByteTokenizer corpus measures ~58 + "
+                        "bytes/s — make_synth_corpus.py prints its model)")
     p.add_argument("--fold", choices=("librispeech", "libritts"),
                    default=None,
                    help="fold measured step times over a synthetic "
@@ -272,14 +277,14 @@ def main(argv=None):
         from audio_calm_tpu.data.datasets import CalmExample
 
         rows, row_len, segs = pack
-        # text-token model for synthetic corpora: the ChatML TTS prompt
-        # wrapper (datasets.TTS_PROMPT_TEMPLATE) is ~13 tokens; read
-        # speech carries ~2.5 words/s x ~1.3 BPE tokens/word
-        TOK0, TOK_PER_S = 13, 3.3
+        # text-token model for synthetic corpora (--tok-model): the ChatML
+        # TTS prompt wrapper (datasets.TTS_PROMPT_TEMPLATE) is ~13 Qwen BPE
+        # tokens; read speech carries ~2.5 words/s x ~1.3 BPE tokens/word
+        TOK0, TOK_PER_S = (float(x) for x in args.tok_model.split(","))
 
         def tok_of(frames):
             return int(np.clip(np.round(TOK0 + frames / FPS * TOK_PER_S),
-                               14, m.max_text_len))
+                               TOK0 + 1, m.max_text_len))
 
         buckets = sorted(int(x) for x in args.buckets.split(","))
 

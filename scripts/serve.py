@@ -39,6 +39,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
 
+class PayloadTooLarge(ValueError):
+    """Request exceeds a size/duration cap — reported as HTTP 413 on every
+    /asr path (buffered and streaming) for a consistent limit contract."""
+
+
 def build_engine(args):
     import jax
 
@@ -345,6 +350,15 @@ def main(argv=None):
         MAX_TTS_CHARS = 20_000
         MAX_ASR_SAMPLES = 600 * 16000  # 10 min of 16 kHz audio
 
+        def _json_close(self, code, obj):
+            """Error response on a connection whose request body was not
+            fully consumed: a keep-alive client would otherwise see its
+            own unread body bytes parsed as the next request line
+            (connection desync) — close instead of draining an
+            arbitrarily large body."""
+            self.close_connection = True
+            return self._json(code, obj)
+
         def do_POST(self):
             route = self.path.split("?", 1)[0]
             te = (self.headers.get("Transfer-Encoding") or "").lower()
@@ -357,12 +371,12 @@ def main(argv=None):
                     # arrives, emit NDJSON transcripts mid-upload
                     return self._post_asr_stream(chunked)
                 if chunked:
-                    return self._json(411, {
+                    return self._json_close(411, {
                         "error": "chunked upload is only supported on "
                                  "streaming /asr"})
                 n = int(self.headers.get("Content-Length", 0))
                 if n > self.MAX_BODY_BYTES:
-                    return self._json(413, {"error": "body too large"})
+                    return self._json_close(413, {"error": "body too large"})
                 body = self.rfile.read(n)
                 if route == "/tts":
                     return self._post_tts(body)
@@ -597,7 +611,9 @@ def main(argv=None):
                 try:
                     seed = int(seed)
                 except ValueError:
-                    return self._json(400, {"error": "seed must be an int"})
+                    # body not read yet -> close (keep-alive desync guard)
+                    return self._json_close(
+                        400, {"error": "seed must be an int"})
             base = next_key(seed)
             parser = WavStreamParser()
             state = {"sent": False, "ttft": None}
@@ -619,7 +635,7 @@ def main(argv=None):
                 if not chunked:
                     n = int(self.headers.get("Content-Length", 0))
                     if n > self.MAX_BODY_BYTES:
-                        raise ValueError("body too large")
+                        raise PayloadTooLarge("body too large")
                     while n > 0:
                         d = self.rfile.read(min(n, 1 << 16))
                         if not d:
@@ -642,7 +658,7 @@ def main(argv=None):
                         return
                     total += size
                     if total > self.MAX_BODY_BYTES:
-                        raise ValueError("body too large")
+                        raise PayloadTooLarge("body too large")
                     left = size
                     while left:
                         d = self.rfile.read(min(left, 1 << 16))
@@ -664,7 +680,7 @@ def main(argv=None):
                     if len(x):
                         n_samples[0] += len(x)
                         if n_samples[0] > self.MAX_ASR_SAMPLES:
-                            raise ValueError(
+                            raise PayloadTooLarge(
                                 f"audio exceeds "
                                 f"{self.MAX_ASR_SAMPLES // 16000} s")
                         yield x
@@ -676,10 +692,18 @@ def main(argv=None):
             texts = []
 
             def pump(block):
+                # submit the decode for EVERY chunk whose frontend is done
+                # (not just the head): in-flight chunks of a fast upload
+                # coalesce in the ("asr", steps) batcher group like the
+                # buffered long path; emission stays FIFO from the head
+                for ent in pending:
+                    if ent[3] is None and ent[1].done():
+                        ent[3] = batcher.submit(
+                            ("asr", e.asr_steps), (ent[1].result(), ent[2]))
                 while pending:
                     ent = pending[0]
                     if ent[3] is None:
-                        if not (block or ent[1].done()):
+                        if not block:
                             return
                         ent[3] = batcher.submit(
                             ("asr", e.asr_steps), (ent[1].result(), ent[2]))
@@ -716,7 +740,10 @@ def main(argv=None):
             except Exception as ex:
                 if not state["sent"]:
                     stats.record_request("asr_stream", 0.0, error=True)
-                    return self._json(400, {"error": str(ex)})
+                    # 413 for the size caps (same contract as buffered
+                    # /asr); close either way — the body is part-read
+                    code = 413 if isinstance(ex, PayloadTooLarge) else 400
+                    return self._json_close(code, {"error": str(ex)})
                 # headers are out: abort the connection (missing chunked
                 # terminator = client sees a truncated stream) instead of
                 # corrupting the framing with a second response

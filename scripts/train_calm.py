@@ -142,9 +142,16 @@ def main(argv=None):
 
     pack_asr = _pack_on("asr", d.asr_pack_rows)
     pack_tts = _pack_on("tts", d.tts_pack_rows)
-    need = mesh.shape["data"] * max(t.microbatch_steps, 1)
+    # per-task scan depth: tts/asr are separate jit programs (BASELINE.md
+    # "Microbatch depth under packed TTS": the ASR-driven k=8 costs TTS
+    # +9.6% at t_aud=96 vs its own optimum k=2)
+    k_of = {
+        "tts": t.tts_microbatch_steps or t.microbatch_steps,
+        "asr": t.asr_microbatch_steps or t.microbatch_steps,
+    }
     for name, rows, on in (("asr", d.asr_pack_rows, pack_asr),
                            ("tts", d.tts_pack_rows, pack_tts)):
+        need = mesh.shape["data"] * max(k_of[name], 1)
         if on and rows % need:
             raise ValueError(
                 f"data.{name}_pack_rows={rows} must be divisible "
@@ -234,7 +241,7 @@ def main(argv=None):
                 step_task = "tts_packed"
             fn, state, frozen = shard_step(
                 make_calm_step(model, tx, step_task,
-                               microbatch=t.microbatch_steps),
+                               microbatch=k_of[task]),
                 mesh, state, frozen,
             )
             steps[step_task] = fn

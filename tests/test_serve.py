@@ -560,3 +560,38 @@ def test_request_guards(server):
         assert False, "expected HTTP 400"
     except urllib.error.HTTPError as ex:
         assert ex.code == 400
+
+
+def test_early_error_closes_partial_body_connection(server):
+    """An error response sent before the request body was consumed must
+    not leave the connection open: a keep-alive client would see its own
+    unread body bytes parsed as the next request line (desync). The 411
+    for chunked non-/asr posts is the easiest such path to drive."""
+    import socket
+
+    port = int(server.rsplit(":", 1)[1])
+    s = socket.create_connection(("localhost", port), timeout=60)
+    body = b'{"text": "hello"}'
+    s.sendall(b"POST /tts HTTP/1.1\r\nHost: localhost\r\n"
+              b"Transfer-Encoding: chunked\r\n"
+              b"Content-Type: application/json\r\n\r\n"
+              + f"{len(body):x}\r\n".encode() + body + b"\r\n0\r\n\r\n")
+    got = b""
+    while b"\r\n\r\n" not in got:
+        d = s.recv(65536)
+        assert d, "no response"
+        got += d
+    assert got.startswith(b"HTTP/1.1 411"), got[:40]
+    # drain the (small) JSON body, then expect EOF — NOT a 400/405 from
+    # the server misreading our chunked body as a second request
+    s.settimeout(10)
+    try:
+        while True:
+            d = s.recv(65536)
+            if not d:
+                break
+            got += d
+    except socket.timeout:
+        assert False, "connection stayed open after early error"
+    s.close()
+    assert got.count(b"HTTP/1.1") == 1, got
