@@ -410,12 +410,27 @@ def calm_batch_iterator(
             fn = getattr(dataset, "supports_meta", None)
             return callable(fn) and fn(mode)
 
-        if asr_pack_rows > 0 and not (
-                asr_pack_rows % process_count == 0 and _meta_ok("asr")):
-            asr_pack_rows = 0
-        if tts_pack_rows > 0 and not (
-                tts_pack_rows % process_count == 0 and _meta_ok("tts")):
-            tts_pack_rows = 0
+        def _gate(mode, rows):
+            if rows <= 0:
+                return rows
+            if rows % process_count == 0 and _meta_ok(mode):
+                return rows
+            # this silently costs the measured +121%/+187% packed wins —
+            # make the degradation loud and name the one-shot fix
+            import warnings
+
+            warnings.warn(
+                f"multi-host {mode} sequence packing DISABLED: the store "
+                "has no header-readable metadata (.pt files?) or "
+                f"{mode}_pack_rows={rows} does not shard over "
+                f"{process_count} processes — falling back to plain "
+                "batches. For reference-format .pt corpora, run "
+                "scripts/convert_store.py once to regain packing.",
+                stacklevel=2)
+            return 0
+
+        asr_pack_rows = _gate("asr", asr_pack_rows)
+        tts_pack_rows = _gate("tts", tts_pack_rows)
         audio_buckets = None
         length_group_window = 0
     else:

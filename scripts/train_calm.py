@@ -138,7 +138,14 @@ def main(argv=None):
             return False
         if n_proc == 1:
             return True
-        return rows % n_proc == 0 and ds.supports_meta(task)
+        on = rows % n_proc == 0 and ds.supports_meta(task)
+        if not on:
+            print(f"WARNING: multi-host {task} packing disabled "
+                  f"(no header-readable store metadata or rows%{n_proc}!=0)"
+                  " — plain batches lose the packed-throughput wins; for "
+                  ".pt corpora run scripts/convert_store.py once",
+                  file=sys.stderr)
+        return on
 
     pack_asr = _pack_on("asr", d.asr_pack_rows)
     pack_tts = _pack_on("tts", d.tts_pack_rows)
