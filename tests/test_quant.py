@@ -33,9 +33,13 @@ def test_int8_hidden_state_error_bound():
     rel = float(jnp.linalg.norm(out.astype(jnp.float32) -
                                 ref.astype(jnp.float32))
                 / jnp.linalg.norm(ref.astype(jnp.float32)))
-    # weight-only per-channel int8 on this hidden-64 toy: measured 1.27%
-    # (quant noise averages down ~1/sqrt(fan_in); the flagship's 1536-dim
-    # projections sit ~5x lower)
+    # weight-only per-channel int8 on this hidden-64 toy: measured 1.27%.
+    # NOTE the round-3 "averages down ~1/sqrt(fan_in)" expectation was
+    # measured FALSE (scripts/measure_quant_error.py): per-projection
+    # relative error is ~flat in fan-in (0.6% at 64, 0.8% at 1536 —
+    # signal and quant noise both scale ~sqrt(fan_in)), and the 28-layer
+    # flagship stack accumulates to ~3.4% on random weights. BASELINE.md
+    # "int8" carries the numbers; int8 stays opt-in accordingly.
     assert rel < 2e-2, rel
     # kernels really are int8 on every projection; scales mirror the paths
     k = qparams["layers_0"]["self_attn"]["q_proj"]["kernel"]
