@@ -37,7 +37,8 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--task", choices=("tts", "asr", "vae"), default="asr")
+    p.add_argument("--task", choices=("tts", "asr", "vae", "mix"),
+                   default="asr")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--microbatch", type=int, default=8)
     p.add_argument("--buckets", default="384",
@@ -60,7 +61,14 @@ def main(argv=None):
                    help="vae task: mel crop frames")
     p.add_argument("--pack", default=None, metavar="ROWS,LEN,SEGS",
                    help="asr sequence packing recipe, e.g. 16,512,4 "
-                        "(data.asr_pack_rows/len/segments)")
+                        "(data.asr_pack_rows/len/segments); --task mix "
+                        "defaults to the shipped 16,512,4")
+    p.add_argument("--pack-tts", default=None, metavar="ROWS,LEN,SEGS",
+                   help="--task mix: tts packing recipe (default: the "
+                        "shipped 16,256,8)")
+    p.add_argument("--microbatch-tts", type=int, default=None,
+                   help="--task mix: tts scan depth (default 2 = "
+                        "training.tts_microbatch_steps recipe)")
     p.add_argument("--prompt-len", type=int, default=20,
                    help="packed mode: constant ASR prompt length in tokens")
     p.add_argument("--tok-model", default="13,3.3", metavar="TOK0,PER_S",
@@ -81,6 +89,11 @@ def main(argv=None):
                    help="length_group_window for the bucketed --fold "
                         "(0 = random batch order)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke mode: shrink the model to toy width so the "
+                        "measurement PATHS run on a 1-core CPU host "
+                        "(numbers are meaningless; use for CI/refactor "
+                        "checks only)")
     args = p.parse_args(argv)
 
     import jax
@@ -102,8 +115,8 @@ def main(argv=None):
     FPS = 384 / 24.576
     FOLD_MEAN_S = {"librispeech": 12.8, "libritts": 5.9}
 
-    def fold_lengths():
-        mean_s = FOLD_MEAN_S[args.fold]
+    def fold_lengths(family=None):
+        mean_s = FOLD_MEAN_S[family or args.fold]
         sig = args.fold_sigma
         # lognormal with E[dur] = mean_s before clipping
         mu = float(np.log(mean_s) - 0.5 * sig * sig)
@@ -228,7 +241,19 @@ def main(argv=None):
                                             shard_step)
 
     pack = None
-    if args.pack:
+    pack_tts = None
+    K_tts = args.microbatch_tts or 2
+    if args.task == "mix":
+        # the shipped calm.yaml mixed recipe: both streams packed, each
+        # at its own measured-optimal scan depth
+        pack = tuple(int(x) for x in (args.pack or "16,512,4").split(","))
+        pack_tts = tuple(
+            int(x) for x in (args.pack_tts or "16,256,8").split(","))
+        if len(pack) != 3 or len(pack_tts) != 3:
+            p.error("--pack/--pack-tts want ROWS,LEN,SEGS")
+        if pack[0] % K or pack_tts[0] % K_tts:
+            p.error("pack rows must divide by their task's microbatch")
+    elif args.pack:
         if args.task == "vae":
             p.error("--pack requires --task asr or tts")
         pack = tuple(int(x) for x in args.pack.split(","))
@@ -240,6 +265,14 @@ def main(argv=None):
 
     m = flagship_config(num_llm_layers=args.llm_layers)
     m.remat_policy = args.remat
+    if args.tiny:
+        q = m.qwen
+        q.hidden_size, q.intermediate_size = 64, 128
+        q.num_attention_heads, q.num_key_value_heads = 4, 2
+        q.head_dim, q.vocab_size = 16, 512
+        q.num_hidden_layers = args.llm_layers or 2
+        m.tts_flow_hidden_dim = m.asr_flow_hidden_dim = 64
+        m.flow_num_heads = 2
     model = QwenCALM(m, dtype=jnp.bfloat16)
     print("init params...", file=sys.stderr, flush=True)
     params = init_calm_params(model, jax.random.PRNGKey(0))
@@ -255,11 +288,18 @@ def main(argv=None):
     tx = make_optimizer(t_cfg, trainable, label, 1000)
     state = init_train_state(trainable, tx)
     mesh = make_mesh()
-    step_task = f"{args.task}_packed" if pack else args.task
-    step, state, frozen = shard_step(
-        make_calm_step(model, tx, step_task, microbatch=K), mesh, state,
-        frozen)
-    probe = make_calm_step(model, tx, step_task, microbatch=1)
+    def build_steps(step_task, k):
+        """jitted step at scan depth k (re-places state/frozen) + the
+        scan-free FLOPs probe twin."""
+        nonlocal state, frozen
+        fn, state, frozen = shard_step(
+            make_calm_step(model, tx, step_task, microbatch=k), mesh,
+            state, frozen)
+        return fn, make_calm_step(model, tx, step_task, microbatch=1)
+
+    if args.task != "mix":
+        step, probe = build_steps(
+            f"{args.task}_packed" if pack else args.task, K)
 
     sd = jax.ShapeDtypeStruct
     state_sd = jax.tree.map(lambda a: sd(a.shape, a.dtype), state)
@@ -267,7 +307,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(1)
 
-    if pack and args.task == "tts":
+    def measure_tts_packed(step, probe, pack, k_used, fold_family=None):
         # Packed TTS: texts FFD-pack into LLM rows (token budget), the
         # audio/DiT side stays per-slot on the bucketed grid — so the
         # measurement is per audio bucket like the solo bucketed table,
@@ -276,6 +316,7 @@ def main(argv=None):
         from audio_calm_tpu.data.collator import pack_tts_window
         from audio_calm_tpu.data.datasets import CalmExample
 
+        nonlocal state
         rows, row_len, segs = pack
         # text-token model for synthetic corpora (--tok-model): the ChatML
         # TTS prompt wrapper (datasets.TTS_PROMPT_TEMPLATE) is ~13 Qwen BPE
@@ -373,7 +414,7 @@ def main(argv=None):
             tmin_by[t_aud] = tmin
             rec = {
                 "task": "tts_packed", "rows": rows, "row_len": row_len,
-                "segments": segs, "microbatch": K, "t_aud": t_aud,
+                "segments": segs, "microbatch": k_used, "t_aud": t_aud,
                 "remat": args.remat,
                 "step_min_s": round(tmin, 4),
                 "step_mean_s": round(sum(times) / len(times), 4),
@@ -383,35 +424,41 @@ def main(argv=None):
                 if peak:
                     rec["mfu_pct"] = round(100 * flops / tmin / peak, 1)
             print(json.dumps(rec), flush=True)
-        if args.fold:
-            (steps_by, utts, tok, n_groups, fr_used,
-             fr_cap) = fold_packed_tts(fold_lengths())
-            total_t = sum(n * tmin_by[b] for b, n in steps_by.items())
-            print(json.dumps({
-                "task": "tts_packed", "rows": rows, "row_len": row_len,
-                "segments": segs, "microbatch": K,
-                "fold": args.fold, "fold_sigma": args.fold_sigma,
-                "group_window": args.group_window,
-                "tok_model": f"{TOK0}+{TOK_PER_S}/s",
-                "fold_bucket_steps": {str(k): v
-                                      for k, v in sorted(steps_by.items())},
-                "fold_utts_per_step": round(utts / n_groups, 2),
-                "fold_token_occupancy_pct": round(
-                    100 * tok / (n_groups * rows * row_len), 1),
-                "fold_frame_occupancy_pct": round(
-                    100 * fr_used / max(fr_cap, 1), 1),
-                "fold_samples_per_s": round(utts / total_t, 2),
-            }), flush=True)
-        return 0
+        fold_fam = fold_family or args.fold
+        if not fold_fam:
+            return None
+        (steps_by, utts, tok, n_groups, fr_used,
+         fr_cap) = fold_packed_tts(fold_lengths(fold_fam))
+        total_t = sum(n * tmin_by[b] for b, n in steps_by.items())
+        rec = {
+            "task": "tts_packed", "rows": rows, "row_len": row_len,
+            "segments": segs, "microbatch": k_used,
+            "fold": fold_fam, "fold_sigma": args.fold_sigma,
+            "group_window": args.group_window,
+            "tok_model": f"{TOK0}+{TOK_PER_S}/s",
+            "fold_bucket_steps": {str(k): v
+                                  for k, v in sorted(steps_by.items())},
+            "fold_utts_per_step": round(utts / n_groups, 2),
+            "fold_token_occupancy_pct": round(
+                100 * tok / (n_groups * rows * row_len), 1),
+            "fold_frame_occupancy_pct": round(
+                100 * fr_used / max(fr_cap, 1), 1),
+            "fold_samples_per_s": round(utts / total_t, 2),
+            "fold_total_s": round(total_t, 2), "fold_utts": utts,
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
 
-    if pack:
+    def measure_asr_packed(step, probe, pack, k_used, fold_family=None):
         from audio_calm_tpu.data.collator import pack_asr_window
         from audio_calm_tpu.data.datasets import CalmExample
 
+        nonlocal state
         rows, row_len, segs = pack
         P = args.prompt_len
         seg_frames = m.max_audio_len
-        lens = (fold_lengths() if args.fold
+        fold_fam = fold_family or args.fold
+        lens = (fold_lengths(fold_fam) if fold_fam
                 else np.full(rows * segs, seg_frames))
         npr = np.random.default_rng(7)
         pool = [
@@ -449,7 +496,7 @@ def main(argv=None):
         tmin = min(times)
         rec = {
             "task": "asr_packed", "rows": rows, "row_len": row_len,
-            "segments": segs, "microbatch": K, "prompt_len": P,
+            "segments": segs, "microbatch": k_used, "prompt_len": P,
             "remat": args.remat,
             "step_min_s": round(tmin, 4),
             "step_mean_s": round(sum(times) / len(times), 4),
@@ -458,18 +505,54 @@ def main(argv=None):
             rec["step_tflops"] = round(flops / 1e12, 2)
             if peak:
                 rec["mfu_pct"] = round(100 * flops / tmin / peak, 1)
-        if args.fold:
+        if fold_fam:
             n_steps, n_utts, tok = fold_packed(
-                fold_lengths(), rows, row_len, segs, P, seg_frames)
+                fold_lengths(fold_fam), rows, row_len, segs, P, seg_frames)
             rec.update({
-                "fold": args.fold, "fold_sigma": args.fold_sigma,
+                "fold": fold_fam, "fold_sigma": args.fold_sigma,
                 "fold_utts_per_step": round(n_utts / n_steps, 2),
                 "fold_token_occupancy_pct": round(
                     100 * tok / (n_steps * rows * row_len), 1),
                 "fold_samples_per_s": round(
                     n_utts / (n_steps * tmin), 2),
+                "fold_total_s": round(n_steps * tmin, 2),
+                "fold_utts": n_utts,
             })
         print(json.dumps(rec), flush=True)
+        return rec
+
+    if pack and args.task == "tts":
+        measure_tts_packed(step, probe, pack, K)
+        return 0
+    if pack and args.task == "asr":
+        measure_asr_packed(step, probe, pack, K)
+        return 0
+    if args.task == "mix":
+        # the shipped calm.yaml recipe benched WHOLE: both packed program
+        # sets resident in one process (heads + both optimizers' state,
+        # the real HBM picture), each task at its own scan depth, folded
+        # over its own corpus family (ASR: LibriSpeech-like, TTS:
+        # LibriTTS-like — equal utterance counts per task; task_prob only
+        # shuffles interleaving order, epochs consume both corpora)
+        step_a, probe_a = build_steps("asr_packed", K)
+        rec_a = measure_asr_packed(step_a, probe_a, pack, K,
+                                   fold_family="librispeech")
+        step_t, probe_t = build_steps("tts_packed", K_tts)
+        rec_t = measure_tts_packed(step_t, probe_t, pack_tts, K_tts,
+                                   fold_family="libritts")
+        total = rec_a["fold_total_s"] + rec_t["fold_total_s"]
+        utts = rec_a["fold_utts"] + rec_t["fold_utts"]
+        print(json.dumps({
+            "task": "mix", "asr_pack": list(pack),
+            "tts_pack": list(pack_tts),
+            "microbatch_asr": K, "microbatch_tts": K_tts,
+            "fold_n_per_task": args.fold_n,
+            "asr_samples_per_s": rec_a["fold_samples_per_s"],
+            "tts_samples_per_s": rec_t["fold_samples_per_s"],
+            "mix_samples_per_s": round(utts / total, 2),
+            "mix_time_share_asr_pct": round(
+                100 * rec_a["fold_total_s"] / total, 1),
+        }), flush=True)
         return 0
 
     t_txt = args.text_pad or m.max_text_len

@@ -41,6 +41,13 @@ def main(argv=None):
                    help="trained component dir (orbax layout from "
                         "train_calm.py); default: model.pretrained_* paths")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--perturb-teacher", type=float, default=None,
+                   metavar="SIGMA",
+                   help="add N(0, SIGMA) to every float leaf of the task "
+                        "head before distilling — for WEIGHTLESS harness "
+                        "runs only: an untrained DiT head is degenerate "
+                        "(zero-init out_proj + AdaLN gates -> near-zero "
+                        "field) and distills trivially to 0 loss")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--byte-tokenizer", action="store_true")
@@ -142,6 +149,26 @@ def main(argv=None):
             "asr_query_embed": m.pretrained_asr_query_path,
             "lora": m.pretrained_lora_path,
         })
+
+    if args.perturb_teacher:
+        import numpy as np
+
+        head = f"{task}_flow_head"
+        npr = np.random.default_rng(0)
+
+        def _noise(tree):
+            if isinstance(tree, dict):
+                return {k: _noise(v) for k, v in tree.items()}
+            arr = np.asarray(tree)
+            if not np.issubdtype(arr.dtype, np.floating):
+                return tree
+            return jnp.asarray(
+                arr + npr.normal(0, args.perturb_teacher,
+                                 arr.shape).astype(arr.dtype))
+
+        params[head] = _noise(params[head])
+        print(f"teacher {head} perturbed with sigma="
+              f"{args.perturb_teacher} (weightless-harness mode)")
 
     # isolate the distill run under its own output root: its train state
     # (head-only) is structurally different from a train_calm run's, so
