@@ -109,6 +109,17 @@ def run_training(
             trainable, opt_state, step0 = restore_train_state(
                 resume_mgr, state.trainable, state.opt_state
             )
+            # Free the init-template device buffers NOW. The caller still
+            # holds a Python reference to the passed-in TrainState, and on
+            # resume those arrays never flow through a donating step call,
+            # so without an explicit delete the dead init copy pins its
+            # full param+opt HBM (~3 GB at flagship) for the entire run —
+            # observed as a ResourceExhausted on the first resumed step.
+            # (From scratch the same buffers ARE the step-1 input and
+            # donation frees them.)
+            for leaf in jax.tree.leaves((state.trainable, state.opt_state)):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
             # the first jitted step re-places these per its in_shardings
             state = TrainState(
                 step=jax.numpy.asarray(step0, jax.numpy.int32),

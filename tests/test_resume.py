@@ -53,6 +53,13 @@ def test_resume_continues_from_checkpoint(tmp_path):
     k = next(iter(fresh.trainable))
     assert not np.allclose(np.asarray(fresh.trainable[k]),
                            np.asarray(s2.trainable[k]))
+    # the init-template buffers must be freed on resume: the caller keeps a
+    # Python reference to the passed-in state and it never flows through a
+    # donating step, so without an explicit delete the dead init copy pins
+    # param+opt HBM for the whole run (flagship resume OOM'd on this)
+    assert all(leaf.is_deleted() for leaf in
+               jax.tree.leaves((state2.trainable, state2.opt_state))
+               if hasattr(leaf, "is_deleted"))
 
 
 def test_exhaustion_checkpoints_final_state(tmp_path):
