@@ -69,6 +69,12 @@ def main(argv=None):
     p.add_argument("--microbatch-tts", type=int, default=None,
                    help="--task mix: tts scan depth (default 2 = "
                         "training.tts_microbatch_steps recipe)")
+    p.add_argument("--fold2", default=None, metavar="TOK0,PER_S,PROMPT",
+                   help="--task mix: replay both folds under a SECOND "
+                        "text-token model (e.g. the byte tokenizer's "
+                        "58,3.3,76) reusing the measured step times — "
+                        "step time is shape-static, so only the packing "
+                        "plan changes")
     p.add_argument("--prompt-len", type=int, default=20,
                    help="packed mode: constant ASR prompt length in tokens")
     p.add_argument("--tok-model", default="13,3.3", metavar="TOK0,PER_S",
@@ -307,12 +313,18 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(1)
 
-    def measure_tts_packed(step, probe, pack, k_used, fold_family=None):
+    measured_timing = {}
+
+    def measure_tts_packed(step, probe, pack, k_used, fold_family=None,
+                           tok_model=None, reuse_timing=False):
         # Packed TTS: texts FFD-pack into LLM rows (token budget), the
         # audio/DiT side stays per-slot on the bucketed grid — so the
         # measurement is per audio bucket like the solo bucketed table,
         # with the fold replaying the collator's group-sort + bucket +
         # text-FFD decisions (collator.calm_batch_iterator tts branch).
+        # reuse_timing replays the fold under a different token model with
+        # the tmins already measured this run (step time is shape-static,
+        # content-independent) — see --fold2.
         from audio_calm_tpu.data.collator import pack_tts_window
         from audio_calm_tpu.data.datasets import CalmExample
 
@@ -321,7 +333,8 @@ def main(argv=None):
         # text-token model for synthetic corpora (--tok-model): the ChatML
         # TTS prompt wrapper (datasets.TTS_PROMPT_TEMPLATE) is ~13 Qwen BPE
         # tokens; read speech carries ~2.5 words/s x ~1.3 BPE tokens/word
-        TOK0, TOK_PER_S = (float(x) for x in args.tok_model.split(","))
+        TOK0, TOK_PER_S = (float(x)
+                           for x in (tok_model or args.tok_model).split(","))
 
         def tok_of(frames):
             return int(np.clip(np.round(TOK0 + frames / FPS * TOK_PER_S),
@@ -375,8 +388,13 @@ def main(argv=None):
                 carry.extend(left)
             return steps_by, utts, tok_used, n_groups, frames_used, frames_cap
 
-        tmin_by = {}
-        for t_aud in buckets:
+        if reuse_timing:
+            tmin_by = measured_timing["tts"]
+            buckets_to_time = ()
+        else:
+            tmin_by = measured_timing["tts"] = {}
+            buckets_to_time = buckets
+        for t_aud in buckets_to_time:
             npr = np.random.default_rng(t_aud)
             pool = [
                 CalmExample(
@@ -449,58 +467,65 @@ def main(argv=None):
         print(json.dumps(rec), flush=True)
         return rec
 
-    def measure_asr_packed(step, probe, pack, k_used, fold_family=None):
+    def measure_asr_packed(step, probe, pack, k_used, fold_family=None,
+                           prompt_len=None, reuse_timing=False):
         from audio_calm_tpu.data.collator import pack_asr_window
         from audio_calm_tpu.data.datasets import CalmExample
 
         nonlocal state
         rows, row_len, segs = pack
-        P = args.prompt_len
+        P = prompt_len if prompt_len is not None else args.prompt_len
         seg_frames = m.max_audio_len
         fold_fam = fold_family or args.fold
-        lens = (fold_lengths(fold_fam) if fold_fam
-                else np.full(rows * segs, seg_frames))
-        npr = np.random.default_rng(7)
-        pool = [
-            CalmExample(
-                input_ids=np.zeros((1,), np.int32),
-                labels=np.asarray(
-                    npr.integers(1, 1000, (m.max_text_len,)), np.int32),
-                audio=npr.normal(size=(n, m.latent_dim)).astype(np.float32),
-                mode="asr",
-            )
-            for n in lens[: rows * segs]
-        ]
-        prompt_ids = np.arange(1, P + 1, dtype=np.int32)
-        batch_np, _left = pack_asr_window(
-            pool, prompt_ids, rows, row_len, segs, seg_frames,
-            m.latent_dim, m.max_text_len)
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        sd_of = lambda a: sd(a.shape, a.dtype)
-        flops = lowered_flops(probe, state_sd, frozen_sd,
-                              jax.tree.map(sd_of, batch),
-                              sd((2,), jnp.uint32))
-        print(f"compile packed rows={rows} len={row_len} segs={segs} ...",
-              file=sys.stderr, flush=True)
-        t0 = time.time()
-        state, out = step(state, frozen, batch, rng)
-        loss = float(np.asarray(out["loss"]))
-        print(f"  compiled+ran in {time.time() - t0:.1f}s loss={loss:.4f}",
-              file=sys.stderr, flush=True)
-        times = []
-        for _ in range(args.steps):
+        if reuse_timing:
+            tmin, flops = measured_timing["asr"]
+        else:
+            lens = (fold_lengths(fold_fam) if fold_fam
+                    else np.full(rows * segs, seg_frames))
+            npr = np.random.default_rng(7)
+            pool = [
+                CalmExample(
+                    input_ids=np.zeros((1,), np.int32),
+                    labels=np.asarray(
+                        npr.integers(1, 1000, (m.max_text_len,)), np.int32),
+                    audio=npr.normal(size=(n, m.latent_dim)).astype(
+                        np.float32),
+                    mode="asr",
+                )
+                for n in lens[: rows * segs]
+            ]
+            prompt_ids = np.arange(1, P + 1, dtype=np.int32)
+            batch_np, _left = pack_asr_window(
+                pool, prompt_ids, rows, row_len, segs, seg_frames,
+                m.latent_dim, m.max_text_len)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            sd_of = lambda a: sd(a.shape, a.dtype)
+            flops = lowered_flops(probe, state_sd, frozen_sd,
+                                  jax.tree.map(sd_of, batch),
+                                  sd((2,), jnp.uint32))
+            print(f"compile packed rows={rows} len={row_len} segs={segs} ...",
+                  file=sys.stderr, flush=True)
             t0 = time.time()
             state, out = step(state, frozen, batch, rng)
-            np.asarray(out["loss"])
-            times.append(time.time() - t0)
-        tmin = min(times)
+            loss = float(np.asarray(out["loss"]))
+            print(f"  compiled+ran in {time.time() - t0:.1f}s "
+                  f"loss={loss:.4f}", file=sys.stderr, flush=True)
+            times = []
+            for _ in range(args.steps):
+                t0 = time.time()
+                state, out = step(state, frozen, batch, rng)
+                np.asarray(out["loss"])
+                times.append(time.time() - t0)
+            tmin = min(times)
+            measured_timing["asr"] = (tmin, flops)
         rec = {
             "task": "asr_packed", "rows": rows, "row_len": row_len,
             "segments": segs, "microbatch": k_used, "prompt_len": P,
             "remat": args.remat,
             "step_min_s": round(tmin, 4),
-            "step_mean_s": round(sum(times) / len(times), 4),
         }
+        if not reuse_timing:
+            rec["step_mean_s"] = round(sum(times) / len(times), 4)
         if flops:
             rec["step_tflops"] = round(flops / 1e12, 2)
             if peak:
@@ -540,19 +565,34 @@ def main(argv=None):
         step_t, probe_t = build_steps("tts_packed", K_tts)
         rec_t = measure_tts_packed(step_t, probe_t, pack_tts, K_tts,
                                    fold_family="libritts")
-        total = rec_a["fold_total_s"] + rec_t["fold_total_s"]
-        utts = rec_a["fold_utts"] + rec_t["fold_utts"]
-        print(json.dumps({
-            "task": "mix", "asr_pack": list(pack),
-            "tts_pack": list(pack_tts),
-            "microbatch_asr": K, "microbatch_tts": K_tts,
-            "fold_n_per_task": args.fold_n,
-            "asr_samples_per_s": rec_a["fold_samples_per_s"],
-            "tts_samples_per_s": rec_t["fold_samples_per_s"],
-            "mix_samples_per_s": round(utts / total, 2),
-            "mix_time_share_asr_pct": round(
-                100 * rec_a["fold_total_s"] / total, 1),
-        }), flush=True)
+
+        def mix_line(ra, rt, tok_tag):
+            total = ra["fold_total_s"] + rt["fold_total_s"]
+            utts = ra["fold_utts"] + rt["fold_utts"]
+            print(json.dumps({
+                "task": "mix", "asr_pack": list(pack),
+                "tts_pack": list(pack_tts),
+                "microbatch_asr": K, "microbatch_tts": K_tts,
+                "tok_model": tok_tag,
+                "fold_n_per_task": args.fold_n,
+                "asr_samples_per_s": ra["fold_samples_per_s"],
+                "tts_samples_per_s": rt["fold_samples_per_s"],
+                "mix_samples_per_s": round(utts / total, 2),
+                "mix_time_share_asr_pct": round(
+                    100 * ra["fold_total_s"] / total, 1),
+            }), flush=True)
+
+        mix_line(rec_a, rec_t,
+                 f"{args.tok_model}+prompt{args.prompt_len}")
+        if args.fold2:
+            t0_, rate_, pl_ = args.fold2.split(",")
+            rec_a2 = measure_asr_packed(
+                None, None, pack, K, fold_family="librispeech",
+                prompt_len=int(pl_), reuse_timing=True)
+            rec_t2 = measure_tts_packed(
+                None, None, pack_tts, K_tts, fold_family="libritts",
+                tok_model=f"{t0_},{rate_}", reuse_timing=True)
+            mix_line(rec_a2, rec_t2, f"{t0_},{rate_}+prompt{pl_}")
         return 0
 
     t_txt = args.text_pad or m.max_text_len
