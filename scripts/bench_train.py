@@ -315,6 +315,22 @@ def main(argv=None):
 
     measured_timing = {}
 
+    def retry_transient(fn, attempts=3):
+        """The axon remote-compile helper occasionally drops a response
+        mid-body ('response body closed before all bytes were read');
+        the compile itself usually landed in the persistent cache, so a
+        straight retry recovers a multi-bucket sweep instead of losing it."""
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception as e:  # jax wraps it as JaxRuntimeError
+                if i == attempts - 1 or "INTERNAL" not in str(e):
+                    raise
+                print(f"  transient compile/dispatch error, retrying "
+                      f"({i + 1}/{attempts - 1}): {e}",
+                      file=sys.stderr, flush=True)
+                time.sleep(20)
+
     def measure_tts_packed(step, probe, pack, k_used, fold_family=None,
                            tok_model=None, reuse_timing=False):
         # Packed TTS: texts FFD-pack into LLM rows (token budget), the
@@ -418,7 +434,8 @@ def main(argv=None):
             print(f"compile tts pack rows={rows} len={row_len} segs={segs} "
                   f"t_aud={t_aud} ...", file=sys.stderr, flush=True)
             t0 = time.time()
-            state, out = step(state, frozen, batch, rng)
+            state, out = retry_transient(
+                lambda: step(state, frozen, batch, rng))
             loss = float(np.asarray(out["loss"]))
             print(f"  compiled+ran in {time.time() - t0:.1f}s "
                   f"loss={loss:.4f}", file=sys.stderr, flush=True)
@@ -506,7 +523,8 @@ def main(argv=None):
             print(f"compile packed rows={rows} len={row_len} segs={segs} ...",
                   file=sys.stderr, flush=True)
             t0 = time.time()
-            state, out = step(state, frozen, batch, rng)
+            state, out = retry_transient(
+                lambda: step(state, frozen, batch, rng))
             loss = float(np.asarray(out["loss"]))
             print(f"  compiled+ran in {time.time() - t0:.1f}s "
                   f"loss={loss:.4f}", file=sys.stderr, flush=True)
