@@ -80,6 +80,12 @@ def run_training(
     (train_calm.py:521-567) made continuous. samples/sec counts this
     process's shard (leading dim of the first array leaf).
 
+    NOTE — the passed-in `state` is CONSUMED: its device buffers are either
+    donated to the first step (fresh runs) or explicitly deleted after a
+    checkpoint restore replaces them (resume; see the delete below — a live
+    init copy pins its full param+opt HBM for the whole run). Callers must
+    not touch the input TrainState after this call; use the returned one.
+
     Best-checkpoint retention: when cfg.load_best_model_at_end, the orbax
     manager ranks steps by cfg.metric_for_best_model (eval loss when eval_fn
     runs, else running train loss) and the best surviving checkpoint is
@@ -184,6 +190,8 @@ def run_training(
                 keys.append(k)
                 vals.append(v)
         pending_metrics.clear()
+        if not vals:
+            return
         if _stack_ok:
             # pad to a few static shapes so the tiny stack program compiles
             # once per size class, not once per harvest

@@ -56,7 +56,17 @@ def convert_file(path: str, expected_dim=None, keys=("latent", "mel")):
     if arr.ndim == 2 and _is_dt_layout(arr.shape, expected_dim):
         arr = arr.T
     out = path[: -len(".pt")] + ".npz"
-    np.savez(out, **{key: arr})
+    # atomic publish: a kill/crash/disk-full mid-savez must never leave a
+    # truncated .npz at the final path (scan_corpus would prefer it over
+    # the still-valid .pt and a rerun would skip it)
+    tmp = out + ".tmp"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **{key: arr})
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return out, key
 
 
@@ -80,8 +90,18 @@ def main(argv=None):
     for f in files:
         out = f[: -len(".pt")] + ".npz"
         if os.path.exists(out) and not args.force:
-            skipped += 1
-            continue
+            # validate the sidecar's zip directory before trusting it —
+            # a pre-fix truncated write must be repaired, not skipped
+            try:
+                with np.load(out, allow_pickle=False) as z:
+                    ok = len(z.files) > 0
+            except Exception:
+                ok = False
+            if ok:
+                skipped += 1
+                continue
+            print(f"warning: {out}: corrupt sidecar, reconverting",
+                  file=sys.stderr)
         try:
             convert_file(f, expected_dim=args.dim)
         except Exception as ex:

@@ -125,7 +125,10 @@ def main(argv=None):
     for task, n in (("asr", args.asr_n), ("tts", args.tts_n)):
         if n <= 0:
             continue
-        fr = write_split(task, "train", n, args.seed + hash(task) % 1000)
+        # fixed per-task offset: str hash is randomized per interpreter
+        # (PYTHONHASHSEED), which would break --seed reproducibility
+        fr = write_split(task, "train", n,
+                         args.seed + {"asr": 0, "tts": 1}[task])
         if args.dev_n:
             write_split(task, "dev", args.dev_n, args.seed + 77)
         stats[task] = {

@@ -6,7 +6,7 @@ expected at 1536 fan-in") with direct numbers: relative hidden-state error
 of the quantized Qwen2 stack at the REAL width/depth, random weights (the
 quant-noise statistics depend on fan-in and depth, not on training).
 
-    python scripts/measure_quant_error.py [--layers 28] [--width-only]
+    python scripts/measure_quant_error.py [--layers 28]
 
 Prints one JSON line. CPU-friendly (~1.5B params, a few minutes on the
 1-core host); --layers sizes down the depth sweep.
@@ -24,16 +24,15 @@ def main(argv=None):
     p.add_argument("--layers", type=int, default=28)
     p.add_argument("--seq", type=int, default=32)
     p.add_argument("--batch", type=int, default=2)
-    p.add_argument("--cpu", action="store_true", default=True)
     args = p.parse_args(argv)
 
     import jax
 
-    if args.cpu:
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+    # always host-side: the quant-noise statistic needs no TPU
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
     import jax.numpy as jnp
     import numpy as np
