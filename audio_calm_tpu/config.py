@@ -204,6 +204,10 @@ class LoRAConfig:
 @dataclass
 class CALMModelConfig:
     qwen_path: Optional[str] = None
+    # offline Qwen2 BPE: path to a tiktoken rank file (the reference ships
+    # models/qwen.tiktoken); takes priority over the HF AutoTokenizer at
+    # qwen_path (data/tokenizer.load_tokenizer)
+    tokenizer_path: Optional[str] = None
     vae_path: Optional[str] = None
     use_precomputed_latents: bool = True
     latent_dim: int = 128

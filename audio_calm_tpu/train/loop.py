@@ -23,12 +23,18 @@ from audio_calm_tpu.train.steps import TrainState
 
 
 class MetricLogger:
-    def __init__(self, output_dir: str, run_name: str, report_to: str = "none"):
+    def __init__(self, output_dir: str, run_name: str, report_to: str = "none",
+                 primary: bool = True):
+        """primary=False (non-zero processes of a multi-process run) makes
+        log() a no-op: metric values are global replicated scalars, so one
+        writer per shared filesystem is both sufficient and required (two
+        processes appending the same metrics.jsonl interleave duplicates)."""
         os.makedirs(output_dir, exist_ok=True)
+        self.primary = primary
         self.path = os.path.join(output_dir, "metrics.jsonl")
-        self.f = open(self.path, "a")
+        self.f = open(self.path, "a") if primary else None
         self.wandb = None
-        if report_to == "wandb":
+        if report_to == "wandb" and primary:
             try:
                 import wandb
 
@@ -39,6 +45,8 @@ class MetricLogger:
                 self.wandb = None
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
+        if not self.primary:
+            return
         rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         self.f.write(json.dumps(rec) + "\n")
         self.f.flush()
@@ -91,7 +99,8 @@ def run_training(
     runs, else running train loss) and the best surviving checkpoint is
     restored into the returned state — reference calm_config.yaml:130-137.
     """
-    logger = MetricLogger(cfg.output_dir, cfg.run_name, cfg.report_to)
+    logger = MetricLogger(cfg.output_dir, cfg.run_name, cfg.report_to,
+                          primary=jax.process_index() == 0)
     track_best = bool(cfg.load_best_model_at_end)
     metric_name = cfg.metric_for_best_model or "loss"
     manager = make_manager(
@@ -175,10 +184,14 @@ def run_training(
     # is queued un-read and drained in one stacked transfer — per-scalar
     # float() costs a full tunnel round trip (~26 ms x ~6 metrics x every
     # step); one stacked readback per <=8 steps amortizes it to ~1%.
-    # Multi-process runs keep the per-leaf path (eager ops on global
-    # replicated arrays are not portable).
+    # Multi-process runs stack UNDER JIT: eager ops on global replicated
+    # arrays are not portable, but every process executes the same jitted
+    # stack in lockstep (the drain cadence is step-deterministic), and the
+    # replicated output is read from the local shard — still one transfer
+    # per drain, no collective, no per-scalar round trips.
     pending_metrics = []
-    _stack_ok = jax.process_count() == 1
+    _multi = jax.process_count() > 1
+    _stack = jax.jit(lambda vs: jax.numpy.stack(vs))
 
     def harvest():
         nonlocal last_train_loss
@@ -192,14 +205,13 @@ def run_training(
         pending_metrics.clear()
         if not vals:
             return
-        if _stack_ok:
-            # pad to a few static shapes so the tiny stack program compiles
-            # once per size class, not once per harvest
-            pad = (-len(vals)) % 32
-            host = np.asarray(
-                jax.numpy.stack(vals + [vals[0]] * pad))[:len(keys)].tolist()
-        else:
-            host = [float(v) for v in vals]
+        # pad to a few static shapes so the tiny stack program compiles
+        # once per size class, not once per harvest
+        pad = (-len(vals)) % 32
+        out = _stack(vals + [vals[0]] * pad)
+        if _multi:
+            out = out.addressable_data(0)
+        host = np.asarray(out)[:len(keys)].tolist()
         for k, v in zip(keys, host):
             if k == "loss":
                 last_train_loss = v

@@ -90,20 +90,16 @@ def main(argv=None):
         e.cfg_scale if task == "tts" else e.asr_cfg_scale
     )
 
-    if args.byte_tokenizer:
-        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = ByteTokenizer()
-    else:
-        try:
-            from transformers import AutoTokenizer
-
-            tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
-        except Exception as exc:
-            print(f"error: tokenizer load failed ({exc}); pass "
-                  "--byte-tokenizer for a tokenizer-less smoke run",
-                  file=sys.stderr)
-            return 1
+    try:
+        tokenizer = load_tokenizer(m, byte_fallback=args.byte_tokenizer)
+    except Exception as exc:
+        print(f"error: tokenizer load failed ({exc}); set "
+              "model.tokenizer_path to a .tiktoken rank file or pass "
+              "--byte-tokenizer for a tokenizer-less smoke run",
+              file=sys.stderr)
+        return 1
 
     asr = d.datasets.get("asr")
     tts = d.datasets.get("tts")

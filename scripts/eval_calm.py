@@ -49,14 +49,9 @@ def main(argv=None):
     m, e = cfg.model, cfg.evaluation
     os.makedirs(e.output_dir, exist_ok=True)
 
-    if args.byte_tokenizer:
-        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = ByteTokenizer()
-    else:
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+    tokenizer = load_tokenizer(m, byte_fallback=args.byte_tokenizer)
 
     # evaluation.compute_dtype: float32 (default) = the reference eval
     # protocol (reference eval_calm.py:284 casts modules to torch.float32);

@@ -143,14 +143,9 @@ def main(argv=None):
     cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
     m, d = cfg.model, cfg.data
 
-    if args.byte_tokenizer:
-        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = ByteTokenizer()
-    else:
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+    tokenizer = load_tokenizer(m, byte_fallback=args.byte_tokenizer)
 
     tts = d.datasets.get("tts")
     if not tts or not tts.latent_dir or not os.path.isdir(tts.latent_dir):

@@ -67,14 +67,9 @@ def build_engine(args):
     enable_compilation_cache()
     cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
     m = cfg.model
-    if args.byte_tokenizer:
-        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = ByteTokenizer()
-    else:
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+    tokenizer = load_tokenizer(m, byte_fallback=args.byte_tokenizer)
 
     # evaluation.compute_dtype: float32 = reference eval protocol;
     # bfloat16 = the TPU serving recipe (MXU compute + bf16 param storage,

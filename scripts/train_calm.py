@@ -63,20 +63,16 @@ def main(argv=None):
     t, d, m = cfg.training, cfg.data, cfg.model
 
     # tokenizer
-    if args.byte_tokenizer:
-        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = ByteTokenizer()
-    else:
-        try:
-            from transformers import AutoTokenizer
-
-            tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
-        except Exception as e:
-            print(f"error: tokenizer load failed ({e}); pass "
-                  "--byte-tokenizer for a tokenizer-less smoke run",
-                  file=sys.stderr)
-            return 1
+    try:
+        tokenizer = load_tokenizer(m, byte_fallback=args.byte_tokenizer)
+    except Exception as e:
+        print(f"error: tokenizer load failed ({e}); set "
+              "model.tokenizer_path to a .tiktoken rank file or pass "
+              "--byte-tokenizer for a tokenizer-less smoke run",
+              file=sys.stderr)
+        return 1
 
     asr = d.datasets.get("asr")
     tts = d.datasets.get("tts")

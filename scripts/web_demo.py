@@ -49,14 +49,9 @@ def main(argv=None):
 
     cfg = load_config(args.config, cls=CALMConfig, overrides=args.override)
     m = cfg.model
-    if args.byte_tokenizer:
-        from audio_calm_tpu.data.tokenizer import ByteTokenizer
+    from audio_calm_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = ByteTokenizer()
-    else:
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(m.qwen_path)
+    tokenizer = load_tokenizer(m, byte_fallback=args.byte_tokenizer)
 
     from audio_calm_tpu.models.flagship import (cast_floating,
                                                 resolve_compute_dtype)
