@@ -107,6 +107,30 @@ def main():
             jnp.bfloat16,
         )
     }
+    # BENCH_COMPONENTS=<dir>: overlay trained component weights (orbax
+    # layout from train_calm/distill_calm) so the benched program carries
+    # REAL params — e.g. the distilled K=4 student behind the euler-4
+    # cfg-1.0 protocol rows (same HLO either way; this makes the speed
+    # claim a system claim)
+    comp_dir = os.environ.get("BENCH_COMPONENTS")
+    if comp_dir:
+        from audio_calm_tpu.train.checkpoint import (
+            COMPONENTS, soft_restart,
+        )
+
+        # soft_restart only materializes the component subtrees host-side
+        # (heads/proj/lora, ~300 MB) — NOT the 1.5B LLM, which stays on
+        # device; jnp.asarray is a no-op for already-device leaves
+        merged = soft_restart(
+            calm_params["params"], {c: comp_dir
+                                    for c in COMPONENTS + ("lora",)},
+        )
+        calm_params = {
+            "params": cast_floating(
+                jax.tree_util.tree_map(jnp.asarray, merged), jnp.bfloat16)
+        }
+        log2({"metric": "bench_components", "dir": comp_dir})
+
     # AUDIO_CALM_LLM_WEIGHTS=int8: weight-only int8 frozen backbone (halves
     # the LLM-encode HBM weight traffic; measured delta in BASELINE.md)
     from audio_calm_tpu.models.quant import maybe_quantize_from_env

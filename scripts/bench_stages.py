@@ -113,31 +113,47 @@ def main(argv=None):
         return sum(jnp.sum(l.astype(jnp.float32) * 1e-20) for l in leaves
                    if jnp.issubdtype(l.dtype, jnp.floating))
 
-    def slope_time(name, fn, feed, primary, iters, chain):
-        """fn(primary) -> out; feed(primary, cs_scalar) -> primary'.
-        Returns min-wall slope device seconds per fn call."""
+    def slope_time(name, fn, feed, primary, params, iters, chain):
+        """fn(params, primary) -> out; feed(primary, cs_scalar) -> primary'.
+        `params` passes through jit as an ARGUMENT (closing over a 3 GB
+        tree bakes it into the HLO as constants). Returns min-wall slope
+        device seconds per fn call."""
 
         def make(k):
             @jax.jit
-            def g(prim):
+            def g(pp, prim):
                 cs = jnp.float32(0)
                 for _ in range(k):
-                    out = fn(prim)
+                    out = fn(pp, prim)
                     cs = checksum(out)
                     prim = feed(prim, cs)
                 return cs
 
             return g
 
+        def retry(thunk, attempts=3):
+            """The axon remote-compile helper occasionally drops a response
+            mid-body; the compile usually landed in the persistent cache,
+            so a straight retry recovers the sweep."""
+            for i in range(attempts):
+                try:
+                    return thunk()
+                except Exception as e:
+                    if i == attempts - 1 or "INTERNAL" not in str(e):
+                        raise
+                    print(f"  transient compile error, retrying: {e}",
+                          flush=True)
+                    time.sleep(20)
+
         g1, gk = make(1), make(chain)
-        np.asarray(g1(primary))  # compile + warm
-        np.asarray(gk(primary))
+        retry(lambda: np.asarray(g1(params, primary)))  # compile + warm
+        retry(lambda: np.asarray(gk(params, primary)))
 
         def best(g):
             ts = []
             for _ in range(iters):
                 t0 = time.perf_counter()
-                np.asarray(g(primary))
+                np.asarray(g(params, primary))
                 ts.append(time.perf_counter() - t0)
             return float(np.min(ts))
 
@@ -170,42 +186,44 @@ def main(argv=None):
     # encode: int ids chain via a data-dependent (runtime-zero) offset
     stages["encode"] = slope_time(
         "encode",
-        lambda ids: tts_encode(calm, calm_params, ids, attn),
+        lambda pp, ids: tts_encode(calm, pp, ids, attn),
         lambda ids, cs: ids + jnp.round(cs).astype(jnp.int32),
-        text_ids, args.iters, args.chain)
+        text_ids, calm_params, args.iters, args.chain)
 
     stages["condition"] = slope_time(
         "condition",
-        lambda tc: tts_condition(calm, calm_params, cond_vec, tc, text_pad,
-                                 num_frames, T),
+        lambda pp, tc: tts_condition(calm, pp, cond_vec, tc, text_pad,
+                                     num_frames, T),
         lambda tc, cs: tc + cs.astype(tc.dtype),
-        text_ctx, args.iters, args.chain)
+        text_ctx, calm_params, args.iters, args.chain)
 
-    def head_fn(c, x, t, ctx, cmask, xmask):
-        return calm.apply(calm_params, c, x, t, ctx, cmask, xmask,
-                          method=QwenCALM.tts_flow_fn)
+    def ode_stage(pp, x0):
+        def head_fn(c, x, t, ctx, cmask, xmask):
+            return calm.apply(pp, c, x, t, ctx, cmask, xmask,
+                              method=QwenCALM.tts_flow_fn)
+
+        return ode_solve(head_fn, condition, x0, args.steps, args.cfg,
+                         context=text_ctx, context_mask=text_pad,
+                         x_mask=~frame_valid, method=args.method)
 
     stages["ode"] = slope_time(
-        "ode",
-        lambda x0: ode_solve(head_fn, condition, x0, args.steps, args.cfg,
-                             context=text_ctx, context_mask=text_pad,
-                             x_mask=~frame_valid, method=args.method),
+        "ode", ode_stage,
         lambda x0, cs: x0 + cs.astype(x0.dtype),
-        x_init, args.iters, args.chain)
+        x_init, calm_params, args.iters, args.chain)
 
     stages["vae_decode"] = slope_time(
         "vae_decode",
-        lambda la: denormalize_mel(
-            vae.apply(vae_params, la, dec_mask, method=AcousticVAE.decode),
+        lambda pp, la: denormalize_mel(
+            vae.apply(pp, la, dec_mask, method=AcousticVAE.decode),
             vae.cfg),
         lambda la, cs: la + cs.astype(la.dtype),
-        latents, args.iters, args.chain)
+        latents, vae_params, args.iters, args.chain)
 
     stages["vocoder"] = slope_time(
         "vocoder",
-        lambda m: voc_apply(voc_params, m),
+        lambda pp, m: voc_apply(pp, m),
         lambda m, cs: m + cs.astype(m.dtype),
-        mel, args.iters, args.chain)
+        mel, voc_params, args.iters, args.chain)
 
     total = sum(stages.values())
     # latent frames -> samples: total_stride mel frames per latent x 256 hop
