@@ -184,17 +184,27 @@ class HiFiGANVocoder:
     fused=True (default on TPU) routes the MRF resblocks through the Pallas
     kernels in ops/pallas_vocoder — measured 45 -> 14 ms of device time for
     the resblock stack on v5e (BASELINE.md), waveform parity < 1e-3 of the
-    tanh range vs the XLA path. AUDIO_CALM_VOCODER=xla opts out."""
+    tanh range vs the XLA path. AUDIO_CALM_VOCODER=xla opts out.
+
+    AUDIO_CALM_VOCODER_IO=bf16 (or io_dtype=jnp.bfloat16) additionally
+    halves the inter-stage activation traffic of the fused path; measured
+    a ~5% generator win at B=1 (16.3 -> 15.5 ms — the fused stages are
+    near the packed-matmul roofline, so bandwidth is no longer the
+    binding constraint; round-5 profile) at 0.26% waveform rel-L2."""
 
     def __init__(self, params: Dict, cfg: HiFiGANConfig = HiFiGANConfig(),
-                 dtype=None, fused: bool | None = None):
+                 dtype=None, fused: bool | None = None, io_dtype=None):
         self.cfg = cfg
         self.generator = HiFiGANGenerator(cfg, dtype=dtype)
         self.params = {"params": params}
         if fused is None:
             fused = (os.environ.get("AUDIO_CALM_VOCODER", "fused") == "fused"
                      and jax.default_backend() != "cpu")
+        if io_dtype is None and os.environ.get(
+                "AUDIO_CALM_VOCODER_IO", "") == "bf16":
+            io_dtype = jnp.bfloat16
         self.fused = fused
+        self.io_dtype = io_dtype
         self._decode = jax.jit(self.apply_fn)
 
     def apply_fn(self, params, log_mel: jnp.ndarray) -> jnp.ndarray:
@@ -203,7 +213,8 @@ class HiFiGANVocoder:
         if self.fused:
             from audio_calm_tpu.ops.pallas_vocoder import hifigan_apply_fused
 
-            return hifigan_apply_fused(params, log_mel, self.cfg)
+            return hifigan_apply_fused(params, log_mel, self.cfg,
+                                       io_dtype=self.io_dtype)
         return self.generator.apply(params, log_mel)
 
     def __call__(self, log_mel: jnp.ndarray) -> jnp.ndarray:

@@ -278,20 +278,24 @@ def fused_resblock(
 # Full generator: XLA glue (pre/post/upsample convs) + fused resblocks
 # ---------------------------------------------------------------------------
 def _conv1d(x, kernel, bias, pad: int, dilation: int = 1):
+    # follow the activation dtype (bf16 io halves the inter-stage HBM
+    # traffic; accumulation stays f32 via preferred_element_type)
     y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1,), padding=[(pad, pad)],
+        x, kernel.astype(x.dtype), window_strides=(1,), padding=[(pad, pad)],
         rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
     )
-    return y + bias
+    return (y + bias).astype(x.dtype)
 
 
 def _conv_transpose1d(x, kernel, bias, stride: int, k: int, pad: int):
     y = jax.lax.conv_general_dilated(
-        x, jnp.flip(kernel, axis=0), window_strides=(1,),
+        x, jnp.flip(kernel, axis=0).astype(x.dtype), window_strides=(1,),
         padding=[(k - 1 - pad, k - 1 - pad)], lhs_dilation=(stride,),
         dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
     )
-    return y + bias
+    return (y + bias).astype(x.dtype)
 
 
 def _stack_resblock_weights(blk, n_d: int):
@@ -595,9 +599,10 @@ def packed_conv_post(
     # sequence-edge semantics require (positions < 0 / >= T_out are zero)
     pad_r = window - pad_l - stride + (stride - rows % stride) % stride
     wav = jax.lax.conv_general_dilated(
-        h, big, window_strides=(stride,),
+        h, big.astype(h.dtype), window_strides=(stride,),
         padding=[(pad_l, pad_r)],
         dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
     )[:, :out_rows, :]
     wav = jnp.tanh(wav + b_post[0])
     return wav.reshape(B, out_rows * 128)[:, :T_out]
@@ -628,21 +633,30 @@ def hifigan_apply_fused(
     cfg=None,
     compute_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    io_dtype=None,
 ) -> jnp.ndarray:
     """Generator forward over the UNCHANGED HiFiGANGenerator param tree,
     with the MRF resblocks at C <= 128 fused into Pallas kernels (packed
     into full 128-lane rows below C=128). Returns the waveform
-    [B, T * total_upsample] like HiFiGANGenerator.__call__.
+    [B, T * total_upsample] like HiFiGANGenerator.__call__ (float32).
 
     Measured v5e device-time per resblock (slope method, full V1 geometry,
     BASELINE.md): C=32: 7.0-8.3 ms XLA -> 1.7-2.3 ms packed; C=64: 4.0-4.4
     -> 1.3-1.8; C=128: 2.4-3.6 -> 0.4-1.9; C=256 stays XLA (~150 TF/s
-    already)."""
+    already).
+
+    io_dtype (e.g. jnp.bfloat16) sets the INTER-stage activation dtype:
+    the generator is bandwidth-bound, so bf16 io halves the HBM traffic of
+    the XLA stages and every kernel's in/out blocks (accumulation stays
+    f32 inside kernels and via preferred_element_type in the XLA convs).
+    None = follow mel's dtype (f32 callers keep exact round-2 parity)."""
     from audio_calm_tpu.models.vocoder import HiFiGANConfig
 
     cfg = cfg or HiFiGANConfig()
     p = params["params"] if "params" in params else params
     slope = cfg.lrelu_slope
+    if io_dtype is not None:
+        mel = mel.astype(io_dtype)
 
     def lrelu(v):
         return jnp.where(v >= 0, v, v * slope)
