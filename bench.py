@@ -23,7 +23,11 @@ Supplementary honest-serving metrics go to stderr as JSON lines
 Env knobs: BENCH_BATCH=N (aggregate serving), BENCH_REALISTIC=0 (skip the
 second program; saves its compile), BENCH_ITERS=N, BENCH_STEPS/BENCH_METHOD/
 BENCH_CFG (solver: euler+50+2.5 = reference protocol; euler+K+1.0 = the
-distilled few-step serving recipe, scripts/distill_calm.py).
+distilled few-step serving recipe, scripts/distill_calm.py),
+BENCH_COMPONENTS=<dir> (trained component weights in the pipeline; defaults
+to the round-5 distilled student when outputs/distill_r5 exists, which also
+flips the default protocol to euler-4 cfg-1.0 — set BENCH_COMPONENTS= empty
+to force random weights + midpoint-12).
 """
 
 import functools
@@ -48,16 +52,31 @@ def main():
 
     enable_compilation_cache()
 
-    # Default solver: midpoint-12 — 24 velocity evaluations integrating the
-    # SAME guided field 2.8x MORE accurately than the reference's euler-50
-    # (BASELINE.md "ODE solver quality"; measured 321x vs 250x rtf_device).
-    # BENCH_METHOD=euler BENCH_STEPS=50 reproduces the reference protocol.
-    steps = int(os.environ.get("BENCH_STEPS", "12"))
-    ode_method = os.environ.get("BENCH_METHOD", "midpoint")
+    # Default protocol: when the trained K=4 distilled student exists on
+    # disk (round 5, outputs/distill_r5), the headline is the DISTILLED
+    # serving recipe — euler-4 cfg-1.0 with the student's weights in the
+    # pipeline (BASELINE.md "Flagship distilled student": 4.8x more
+    # accurate than the undistilled protocol at equal steps). Otherwise:
+    # midpoint-12 cfg-2.5 — 24 velocity evaluations integrating the SAME
+    # guided field 2.8x MORE accurately than the reference's euler-50
+    # (BASELINE.md "ODE solver quality"). BENCH_METHOD=euler
+    # BENCH_STEPS=50 BENCH_CFG=2.5 reproduces the reference protocol;
+    # BENCH_COMPONENTS= (empty) forces random weights.
+    default_student = "outputs/distill_r5/distill_tts/components"
+    student_available = (
+        "BENCH_COMPONENTS" in os.environ or os.path.isdir(default_student)
+    )
+    if student_available and os.environ.get("BENCH_COMPONENTS", "x") != "":
+        d_steps, d_method, d_cfg = "4", "euler", "1.0"
+        os.environ.setdefault("BENCH_COMPONENTS", default_student)
+    else:
+        d_steps, d_method, d_cfg = "12", "midpoint", "2.5"
+    steps = int(os.environ.get("BENCH_STEPS", d_steps))
+    ode_method = os.environ.get("BENCH_METHOD", d_method)
     # BENCH_CFG=1.0 drops the fused unconditional ODE batch — the distilled
     # serving recipe (scripts/distill_calm.py bakes guidance into the head;
     # pair with BENCH_METHOD=euler BENCH_STEPS=<K>)
-    cfg_scale = float(os.environ.get("BENCH_CFG", "2.5"))
+    cfg_scale = float(os.environ.get("BENCH_CFG", d_cfg))
     # headline is single-stream (B=1); BENCH_BATCH=N measures aggregate
     # serving throughput instead
     batch = int(os.environ.get("BENCH_BATCH", "1"))
