@@ -367,6 +367,13 @@ class TrainingConfig:
     soa_lr_mult: float = 5.0
     proj_lr_mult: float = 1.0
     head_lr_mult: float = 3.0
+    # deferred-metric drain depth: the loop queues step metrics un-read and
+    # drains them in one stacked readback every N steps; each queued step
+    # also pins its input batch on device until the drain syncs the
+    # dispatch queue. 4 measured safe at flagship geometry (~100 MB pinned;
+    # 8-deep OOM'd after ~700 steps — BASELINE round 4); lower it for
+    # geometries with thinner HBM margins.
+    metrics_drain_steps: int = 4
     # ZeRO-style optimizer-state sharding over the data axis
     shard_optimizer_state: bool = True
     dataloader_num_workers: int = 0

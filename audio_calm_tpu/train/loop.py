@@ -237,13 +237,16 @@ def run_training(
         nxt = next(it, None)
 
         pending_metrics.append(metrics)
-        if len(pending_metrics) >= 4 or step_idx % cfg.logging_steps == 0:
+        drain_depth = max(1, getattr(cfg, "metrics_drain_steps", 4))
+        if (len(pending_metrics) >= drain_depth
+                or step_idx % cfg.logging_steps == 0):
             # drain regularly: the harvest readback syncs the dispatch
             # queue, bounding the device-resident input buffers it pins.
             # 8-deep measured an eventual ResourceExhausted at flagship
             # geometry (~200 MB of pinned batches against a thin HBM
             # margin, OOM after ~700 steps); 4-deep (~100 MB) holds and
-            # still amortizes the ~52 ms stacked readback to ~13 ms/step.
+            # still amortizes the ~52 ms stacked readback to ~13 ms/step
+            # (cfg.metrics_drain_steps).
             harvest()
 
         if step_idx % cfg.logging_steps == 0:
