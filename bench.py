@@ -286,6 +286,49 @@ def main():
                 dts.append(time.perf_counter() - t0)
             out["wall_min_device_s"] = round(float(np.min(dts)), 4)
             out["rtf_device"] = round(audio_seconds / float(np.min(dts)), 1)
+        chain = int(os.environ.get("BENCH_CHAIN", "0"))
+        if chain > 1:
+            # K-chained slope: run `chain` pipelines inside ONE program
+            # with a runtime-zero data dependency between iterations, and
+            # subtract a 1-chain program — the slope is PURE device time,
+            # with the ~26 ms tunnel dispatch floor fully amortized (what
+            # a production TPU host sees per utterance; BASELINE.md
+            # "Timing methodology"). Off by default: one extra compile.
+            def make_chain(k):
+                @functools.partial(jax.jit,
+                                   static_argnames=("steps", "cfg_scale"))
+                def pc(cp, vp, vo, rng, steps, cfg_scale):
+                    cs = jnp.float32(0)
+                    for i in range(k):
+                        r = jax.random.fold_in(
+                            rng, i + jnp.round(cs).astype(jnp.int32))
+                        wav = pipe(cp, vp, vo, r, steps=steps,
+                                   cfg_scale=cfg_scale)
+                        cs = jnp.sum(wav[:, ::4096] * 1e-20)
+                    return cs
+
+                return pc
+
+            try:
+                c1, ck = make_chain(1), make_chain(chain)
+
+                def best_of(fn):
+                    np.asarray(fn(*args, rng, steps=steps,
+                                  cfg_scale=cfg_scale))  # compile+warm
+                    ts = []
+                    for i in range(n_iters):
+                        t0 = time.perf_counter()
+                        np.asarray(fn(*args, jax.random.fold_in(rng, i),
+                                      steps=steps, cfg_scale=cfg_scale))
+                        ts.append(time.perf_counter() - t0)
+                    return float(np.min(ts))
+
+                per = (best_of(ck) - best_of(c1)) / (chain - 1)
+                out["device_slope_s"] = round(per, 4)
+                out["rtf_device_slope"] = round(audio_seconds / per, 1)
+            except Exception as ex:
+                log2({"metric": f"{label}_chain_error",
+                      "error": str(ex)[:160]})
         if flops > 0:
             # cost analysis counts the ODE scan body once; add the remaining
             # (steps-1) step bodies for the true pipeline FLOPs (a midpoint
